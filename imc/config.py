@@ -1,0 +1,39 @@
+"""Pipeline parameters (SURVEY.md §1.1 A8, FIXTURES.md §3).
+
+A plain dataclass injected into UDF closures — deterministic, hashable into
+the run manifest (SURVEY.md §7.6 / imc.manifest).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+
+
+@dataclasses.dataclass(frozen=True)
+class IMCParams:
+    eps: float = 1.5          # ε neighborhood radius (m), [T] §4.2
+    min_lns: int = 3          # MinLns density threshold, [T] §4.2
+    gamma: float = 1.0        # γ sweep smoothing spacing (m), [T] §4.3
+    w_perp: float = 1.0       # distance weights, [T] §3.2.2 (defaults 1,1,1)
+    w_par: float = 1.0
+    w_ang: float = 1.0
+    cell_size: float = 0.0    # ε-join prefilter cell size; 0 → auto (2ε)
+    raster_cell: float = 0.5  # occupancy-grid cell size (m), FIXTURES.md §3
+    raster_threshold: int = 2  # min hits for a raster cell to count as occupied
+    salt_buckets: int = 8     # salting factor for hot cells (SURVEY.md §2.4)
+    hot_cell_factor: float = 20.0  # cell is "hot" if count > factor × mean
+
+    @property
+    def join_cell(self) -> float:
+        """Prefilter cell size; must be ≥ 2ε for the cover+ring1 guarantee
+        (imc.cells docstring)."""
+        return self.cell_size if self.cell_size > 0 else 2.0 * self.eps
+
+    def params_hash(self) -> str:
+        payload = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_PARAMS = IMCParams()
