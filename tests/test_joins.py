@@ -1,0 +1,109 @@
+"""Operator equivalence tests (SURVEY.md §5.2-2): cell-prefilter ε-join ≡
+crossJoin+filter; salted ≡ unsalted; kNN via cells ≡ brute-force kNN;
+PIP assignment vs scalar oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fixtures import gen_pages
+from imc import extract, joins, kernels, segments
+from imc.config import IMCParams
+
+PARAMS = IMCParams(eps=1.5, min_lns=3)
+
+
+@pytest.fixture(scope="module")
+def seg_df(spark):
+    path = gen_pages.ensure_pages(sf=0.001)
+    pages = spark.read.parquet(path)
+    pts = extract.pages_to_points(pages)
+    # limit to 20 trajectories to keep the brute-force oracle small
+    df = segments.raw_segments(pts).filter("traj_id % 50 < 20")
+    df.cache().count()
+    return df
+
+
+def brute_pairs(pdf: pd.DataFrame, eps: float) -> set:
+    arr = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+    ids = pdf["seg_id"].to_numpy(np.int64)
+    n = len(ids)
+    ii, jj = np.triu_indices(n, k=1)
+    _, _, _, dist = kernels.traclus_distance(
+        arr[ii, 0], arr[ii, 1], arr[ii, 2], arr[ii, 3],
+        arr[jj, 0], arr[jj, 1], arr[jj, 2], arr[jj, 3])
+    keep = dist <= eps
+    a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+    b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+    return set(zip(a.tolist(), b.tolist()))
+
+
+def test_eps_join_equals_bruteforce(spark, seg_df):
+    got = joins.eps_join(seg_df, PARAMS, salt=False).toPandas()
+    want = brute_pairs(seg_df.toPandas(), PARAMS.eps)
+    got_set = set(zip(got["a_seg"].tolist(), got["b_seg"].tolist()))
+    assert got_set == want
+    assert len(got) == len(got_set)  # no duplicate pairs
+    assert (got["a_seg"] < got["b_seg"]).all()  # canonical order
+    assert (got["dist"] <= PARAMS.eps).all()
+
+
+def test_salted_equals_unsalted(spark, seg_df):
+    plain = joins.eps_join(seg_df, PARAMS, salt=False).toPandas()
+    salted = joins.eps_join(seg_df, PARAMS, salt=True).toPandas()
+    a = set(zip(plain["a_seg"], plain["b_seg"]))
+    b = set(zip(salted["a_seg"], salted["b_seg"]))
+    assert a == b
+
+
+def test_knn_equals_bruteforce(spark, seg_df):
+    k = 5
+    small = seg_df.filter("traj_id % 50 < 6")  # keep brute force cheap
+    got = joins.knn_join(small, small, k=k, params=PARAMS).toPandas()
+    pdf = small.toPandas()
+    arr = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+    ids = pdf["seg_id"].to_numpy(np.int64)
+    n = len(ids)
+    for qi in range(0, n, 17):  # sample probes
+        d = kernels.traclus_distance(
+            np.full(n, arr[qi, 0]), np.full(n, arr[qi, 1]),
+            np.full(n, arr[qi, 2]), np.full(n, arr[qi, 3]),
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])[3]
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:k]
+        want = set(ids[order].tolist())
+        mine = set(got[got["a_seg"] == ids[qi]]["b_seg"].tolist())
+        assert mine == want, f"probe {ids[qi]}"
+
+
+def test_knn_rank_and_count(spark, seg_df):
+    k = 3
+    small = seg_df.filter("traj_id % 50 < 4")
+    got = joins.knn_join(small, small, k=k, params=PARAMS).toPandas()
+    n_probes = small.count()
+    counts = got.groupby("a_seg").size()
+    assert (counts == k).all()
+    assert len(counts) == n_probes  # fallback guarantees k for every probe
+    assert set(got["rank"]) == {1, 2, 3}
+
+
+def test_tile_assignment_matches_scalar(spark, seg_df):
+    tiles = gen_pages.venue_tiles()
+    got = joins.tile_assignments(seg_df, tiles).toPandas()
+    pdf = seg_df.toPandas()
+    mx = (pdf["x1"] + pdf["x2"]) / 2
+    my = (pdf["y1"] + pdf["y2"]) / 2
+    want = {}
+    for sid, px, py in zip(pdf["seg_id"], mx, my):
+        assigned = -1
+        for _, trow in tiles.sort_values("tile_id").iterrows():
+            ring = np.array([[p["x"], p["y"]] for p in trow["ring"]])
+            if kernels.point_in_polygon([px], [py], ring)[0]:
+                assigned = trow["tile_id"]
+                break
+        want[sid] = assigned
+    got_map = dict(zip(got["seg_id"], got["tile_id"]))
+    assert got_map == want
+    # walks stay in corridors: vast majority assigned
+    frac = (got["tile_id"] >= 0).mean()
+    assert frac > 0.9
