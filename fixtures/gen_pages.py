@@ -33,7 +33,10 @@ VENUE_PITCH = 1000.0     # m between venue origins
 NODE_STEP = 20.0         # corridor length
 CORRIDOR_HALF_W = 1.0    # corridor half width (2 m wide)
 ROOM_SIZE = 6.0
-SIGMA = 0.25             # walk noise (m)
+SIGMA = 0.10             # walk noise (m); ~6° heading noise at 1 m steps —
+                         # keeps MDL segments corridor-scale so ε=1.2
+                         # clustering resolves the 6 corridor lines
+GEN_VERSION = 2          # bump when generator output changes (cache key)
 STEP = 1.0               # walk sampling step (m)
 LANGS = ["es", "de", "fr"]
 
@@ -278,7 +281,8 @@ def ensure_pages(sf: float = 0.001, seed: int = 42, hot: bool = False,
     import os
 
     root = root or os.path.join(os.path.dirname(__file__), "data")
-    tag = f"sf{sf}" + ("_hot" if hot else "") + (f"_s{seed}" if seed != 42 else "")
+    tag = (f"v{GEN_VERSION}_sf{sf}" + ("_hot" if hot else "")
+           + (f"_s{seed}" if seed != 42 else ""))
     out_dir = os.path.join(root, tag)
     path = os.path.join(out_dir, "pages.parquet")
     if not os.path.exists(path):

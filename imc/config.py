@@ -13,7 +13,7 @@ import json
 
 @dataclasses.dataclass(frozen=True)
 class IMCParams:
-    eps: float = 1.5          # ε neighborhood radius (m), [T] §4.2
+    eps: float = 1.2          # ε neighborhood radius (m), [T] §4.2
     min_lns: int = 3          # MinLns density threshold, [T] §4.2
     gamma: float = 1.0        # γ sweep smoothing spacing (m), [T] §4.3
     w_perp: float = 1.0       # distance weights, [T] §3.2.2 (defaults 1,1,1)

@@ -1,0 +1,126 @@
+"""Line-segment DBSCAN as a dataflow operator (SURVEY.md §2.8).
+
+[T] §4.2 Fig. 12 is a sequential queue expansion; in bulk form, after the
+ε-join produced the full ε-graph:
+
+  1. cores: |Nε(L)| ≥ MinLns, where Nε includes L itself ([T] Defn 6) —
+     one hash aggregation over the symmetrized pair list.
+  2. clusters = connected components of the core-core subgraph, via
+     iterative min-label propagation (each round one join + one agg;
+     localCheckpoint every few rounds to truncate lineage).
+  3. border segments attach to the minimum adjacent core label
+     (deterministic; the paper's queue order is first-come-first-served,
+     which is not reproducible in parallel — pinned to min).
+  4. clusters with |PTR(C)| < MinLns distinct trajectories are discarded
+     ([T] Defn 8, Fig. 12 step 3).
+  5. canonical cluster ids: dense_rank over the component's min seg_id so
+     output ids are deterministic and fixture-comparable.
+
+Returns assignments(seg_id, cluster_id, is_core) — noise segments are
+absent (the reference marks them noise and drops them from clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from imc.config import IMCParams
+
+
+def symmetrize(eps_pairs: DataFrame) -> DataFrame:
+    """(a,b) canonical pairs → both directions (src, dst)."""
+    ab = eps_pairs.select(F.col("a_seg").alias("src"), F.col("b_seg").alias("dst"))
+    ba = eps_pairs.select(F.col("b_seg").alias("src"), F.col("a_seg").alias("dst"))
+    return ab.unionByName(ba)
+
+
+def core_segments(segments: DataFrame, eps_pairs: DataFrame,
+                  params: IMCParams) -> DataFrame:
+    """(seg_id, n_eps, is_core); n_eps counts the segment itself."""
+    deg = (symmetrize(eps_pairs)
+           .groupBy("src").agg(F.count("*").alias("n_nbrs")))
+    return (segments.select("seg_id")
+            .join(deg, segments.seg_id == deg.src, "left")
+            .select("seg_id",
+                    (F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1).alias("n_eps"))
+            .withColumn("is_core", F.col("n_eps") >= F.lit(params.min_lns)))
+
+
+def _connected_components(edges: DataFrame, nodes: DataFrame,
+                          max_iter: int = 50) -> DataFrame:
+    """Min-label propagation to fixpoint. edges: symmetric (src, dst) over
+    core segments only; nodes: (seg_id). Returns (seg_id, comp) with
+    comp = min seg_id in the component. Iterations ≈ graph diameter in the
+    doubling variant below (label jumps through the current minimum)."""
+    labels = nodes.select(F.col("seg_id"), F.col("seg_id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for it in range(max_iter):
+        # candidate: min over neighbors' labels (and own)
+        nbr_min = (edges.join(labels, edges.dst == labels.seg_id)
+                   .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, labels.seg_id == nbr_min.src, "left")
+                      .select(F.col("seg_id"),
+                              F.least(F.col("comp"),
+                                      F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                                      ).alias("comp")))
+        # label doubling: jump to the label of your current label
+        l2 = new_labels.select(F.col("seg_id").alias("_s"), F.col("comp").alias("_c"))
+        jump = (new_labels.join(
+                    l2.select(F.col("_s").alias("comp"), F.col("_c").alias("jump_comp")),
+                    "comp", "left")
+                .select("seg_id",
+                        F.least(F.col("comp"),
+                                F.coalesce(F.col("jump_comp"), F.col("comp"))
+                                ).alias("comp")))
+        jump = jump.localCheckpoint(eager=True)
+        changed = (jump.alias("n").join(labels.alias("o"), "seg_id")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = jump
+        if changed == 0:
+            break
+    return labels
+
+
+def dbscan(segments: DataFrame, eps_pairs: DataFrame,
+           params: IMCParams | None = None) -> DataFrame:
+    """assignments(seg_id, cluster_id, is_core) — SURVEY.md §2.8."""
+    params = params or IMCParams()
+    cores = core_segments(segments, eps_pairs, params).filter("is_core")
+    core_ids = cores.select("seg_id").localCheckpoint(eager=True)
+
+    sym = symmetrize(eps_pairs)
+    core_edges = (sym
+                  .join(core_ids.withColumnRenamed("seg_id", "src"), "src", "left_semi")
+                  .join(core_ids.withColumnRenamed("seg_id", "dst"), "dst", "left_semi"))
+
+    comp = _connected_components(core_edges, core_ids)
+
+    # border attachment: non-core neighbors of cores take min adjacent comp
+    border = (sym
+              .join(core_ids.withColumnRenamed("seg_id", "dst"), "dst", "left_semi")
+              .join(core_ids.withColumnRenamed("seg_id", "src"), "src", "left_anti")
+              .join(comp.withColumnRenamed("seg_id", "dst"), "dst")
+              .groupBy("src").agg(F.min("comp").alias("comp"))
+              .select(F.col("src").alias("seg_id"), "comp"))
+
+    assigned = (comp.select("seg_id", "comp").withColumn("is_core", F.lit(True))
+                .unionByName(border.withColumn("is_core", F.lit(False))))
+
+    # |PTR(C)| ≥ MinLns filter ([T] Defn 8): distinct trajectories per comp
+    with_traj = assigned.join(segments.select("seg_id", "traj_id"), "seg_id")
+    keep = (with_traj.groupBy("comp")
+            .agg(F.countDistinct("traj_id").alias("n_traj"))
+            .filter(F.col("n_traj") >= F.lit(params.min_lns))
+            .select("comp"))
+    surviving = assigned.join(keep, "comp", "left_semi")
+
+    # canonical ids: dense rank of comp labels — ranked on the DISTINCT comp
+    # set (tiny: one row per cluster), then joined back, so no global window
+    # over the full assignment table
+    comps = surviving.select("comp").distinct()
+    w = Window.orderBy("comp")
+    ranked = comps.withColumn("cluster_id", F.row_number().over(w).cast("long") - 1)
+    return (surviving.join(F.broadcast(ranked), "comp")
+            .select("seg_id", "cluster_id", "is_core"))

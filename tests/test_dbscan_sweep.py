@@ -1,0 +1,93 @@
+"""Distributed DBSCAN + sweep vs the brute-force union-find oracle
+(SURVEY.md §5.2-2/-3) on MDL-partitioned fixture segments."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fixtures import gen_pages, oracle
+from imc import dbscan, extract, joins, kernels, segments, sweep
+from imc.config import IMCParams
+
+PARAMS = IMCParams(eps=1.2, min_lns=3)
+
+
+@pytest.fixture(scope="module")
+def fixture_data(spark):
+    path = gen_pages.ensure_pages(sf=0.001)
+    pages = spark.read.parquet(path)
+    pts = extract.pages_to_points(pages)
+    seg_df = segments.mdl_segments(pts)
+    seg_df.cache().count()
+    pairs = joins.eps_join(seg_df, PARAMS)
+    pairs.cache().count()
+    return seg_df, pairs
+
+
+def test_dbscan_matches_oracle(spark, fixture_data):
+    seg_df, pairs = fixture_data
+    got = dbscan.dbscan(seg_df, pairs, PARAMS).toPandas()
+
+    pdf = seg_df.toPandas().sort_values("seg_id")
+    want = oracle.dbscan_oracle(
+        pdf["seg_id"].to_numpy(np.int64),
+        pdf["traj_id"].to_numpy(np.int64),
+        pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.float64),
+        PARAMS.eps, PARAMS.min_lns)
+
+    got_s = got.sort_values("seg_id").reset_index(drop=True)
+    want_s = want.sort_values("seg_id").reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    pd.testing.assert_frame_equal(
+        got_s.astype({"seg_id": "int64", "cluster_id": "int64", "is_core": "bool"}),
+        want_s.astype({"seg_id": "int64", "cluster_id": "int64", "is_core": "bool"}))
+
+
+def test_dbscan_invariants(spark, fixture_data):
+    seg_df, pairs = fixture_data
+    got = dbscan.dbscan(seg_df, pairs, PARAMS).toPandas()
+    # every segment at most one cluster
+    assert got["seg_id"].is_unique
+    # cluster ids dense from 0
+    cids = sorted(got["cluster_id"].unique())
+    assert cids == list(range(len(cids)))
+    # each surviving cluster has >= MinLns distinct trajectories
+    traj = seg_df.select("seg_id", "traj_id").toPandas()
+    m = got.merge(traj, on="seg_id")
+    per = m.groupby("cluster_id")["traj_id"].nunique()
+    assert (per >= PARAMS.min_lns).all()
+    # clusters exist (corridors are dense enough)
+    assert len(cids) >= 3
+
+
+def test_sweep_matches_oracle(spark, fixture_data):
+    seg_df, pairs = fixture_data
+    assign = dbscan.dbscan(seg_df, pairs, PARAMS)
+    rep = sweep.representative_trajectories(seg_df, assign, PARAMS).toPandas()
+
+    adf = assign.toPandas().merge(seg_df.toPandas(), on="seg_id")
+    for cid, grp in adf.groupby("cluster_id"):
+        segs = grp.sort_values("seg_id")[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+        want = oracle.sweep_oracle(segs, PARAMS.min_lns, PARAMS.gamma)
+        mine = (rep[rep["cluster_id"] == cid]
+                .sort_values("pt_seq")[["x", "y"]].to_numpy(np.float64))
+        assert mine.shape == want.shape, f"cluster {cid}"
+        np.testing.assert_allclose(mine, want, atol=1e-9, err_msg=f"cluster {cid}")
+
+
+def test_rep_polylines_near_corridor_centerlines(spark, fixture_data):
+    """Sanity layer (FIXTURES.md §5): representative points lie close to a
+    true corridor centerline (within corridor half-width + 2σ)."""
+    seg_df, pairs = fixture_data
+    assign = dbscan.dbscan(seg_df, pairs, PARAMS)
+    rep = sweep.representative_trajectories(seg_df, assign, PARAMS).toPandas()
+    truth = gen_pages.venue_truth()
+    edges = truth[["x1", "y1", "x2", "y2"]].to_numpy(np.float64)
+    tol = 1.0 + 2 * 0.25
+    ok = 0
+    for _, r in rep.iterrows():
+        d = kernels.point_segment_distance(
+            np.full(len(edges), r["x"]), np.full(len(edges), r["y"]),
+            edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]).min()
+        ok += d <= tol
+    assert ok / max(len(rep), 1) > 0.9

@@ -10,7 +10,7 @@ from fixtures import gen_pages
 from imc import extract, joins, kernels, segments
 from imc.config import IMCParams
 
-PARAMS = IMCParams(eps=1.5, min_lns=3)
+PARAMS = IMCParams(eps=1.2, min_lns=3)
 
 
 @pytest.fixture(scope="module")
