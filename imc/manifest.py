@@ -1,0 +1,108 @@
+"""iceberg_lite — snapshot/manifest layer over parquet (SURVEY.md §7.3-5).
+
+The north_rule requires jobs "resumable from Iceberg-snapshot checkpoints
+with per-partition lineage and metrics". No Iceberg runtime jar exists in
+this environment (SURVEY.md §0 [E]), so this module emulates the needed
+subset over plain parquet directories with a JSON manifest per stage:
+
+  snapshot_id  = sha256(stage, sorted(input snapshot ids), params_hash)
+                 — content-addressed, so resume is a pure manifest lookup:
+                 same inputs + same params ⟹ same snapshot ⟹ skip stage.
+  lineage      = input snapshot ids (the DAG edge set)
+  metrics      = row count + per-partition row counts (lineage + metrics)
+
+The interface is deliberately thin (write_stage / read_stage / is_current)
+so `df.writeTo(tbl).append()` on a real Iceberg catalog is a one-line swap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_imc_manifest.json"
+
+
+def snapshot_id(stage: str, input_snapshots: list[str], params_hash: str) -> str:
+    payload = json.dumps({"stage": stage, "inputs": sorted(input_snapshots),
+                          "params": params_hash}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST_NAME)
+
+
+def is_current(path: str, expected_snapshot: str) -> bool:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            m = json.load(f)
+        return m.get("snapshot_id") == expected_snapshot and m.get("committed", False)
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def write_stage(df: DataFrame, path: str, stage: str,
+                input_snapshots: list[str], params_hash: str,
+                partition_by: list[str] | None = None) -> str:
+    """Write df as a stage table + manifest; returns the snapshot id."""
+    snap = snapshot_id(stage, input_snapshots, params_hash)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+    # per-partition lineage + metrics on the data as written
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    part_counts = (written
+                   .groupBy(F.spark_partition_id().alias("pid"))
+                   .agg(F.count("*").alias("rows"))
+                   .orderBy("pid")
+                   .collect())
+    manifest = {
+        "stage": stage,
+        "snapshot_id": snap,
+        "inputs": sorted(input_snapshots),
+        "params_hash": params_hash,
+        "schema": written.schema.jsonValue(),
+        "row_count": int(sum(r["rows"] for r in part_counts)),
+        "partitions": [{"pid": int(r["pid"]), "rows": int(r["rows"])} for r in part_counts],
+        "partition_by": partition_by or [],
+        "committed": True,
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(_manifest_path(path), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return snap
+
+
+def read_stage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_manifest(path: str) -> dict:
+    with open(_manifest_path(path)) as f:
+        return json.load(f)
+
+
+def materialize(df: DataFrame, path: str, stage: str,
+                input_snapshots: list[str], params_hash: str,
+                resume: bool = True,
+                partition_by: list[str] | None = None) -> tuple[DataFrame, str]:
+    """Stage checkpoint: skip compute when the manifest already matches the
+    expected content-addressed snapshot (resume semantics of the north_rule).
+    Returns (stage DataFrame as read back, snapshot id)."""
+    snap = snapshot_id(stage, input_snapshots, params_hash)
+    if resume and is_current(path, snap):
+        return read_stage(df.sparkSession, path), snap
+    write_stage(df, path, stage, input_snapshots, params_hash, partition_by)
+    return read_stage(df.sparkSession, path), snap

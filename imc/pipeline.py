@@ -1,0 +1,63 @@
+"""End-to-end pipeline — EP1 of SURVEY.md §3.2.
+
+pages ─filter/dedupe/extract/parse─► points
+      ─lead window + MDL grouped-map─► segments
+      ─cell cover + salted equi-join + refine─► eps_pairs
+      ─core agg + label propagation─► assignments
+      ─per-cluster sweep─► rep_points
+      ─Bresenham explode + count─► raster ─► polygons
+      ─broadcast PIP─► tile_assignments
+
+Every stage lands as an iceberg_lite snapshot table (imc.manifest): a rerun
+with the same inputs + params skips completed stages (resume).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imc import dbscan, extract, joins, manifest, raster, segments, sweep
+from imc.config import IMCParams
+
+
+def run(spark: SparkSession, pages: DataFrame, out_dir: str,
+        params: IMCParams | None = None, resume: bool = True,
+        use_mdl: bool = True) -> dict:
+    """Run the full pipeline; returns {stage: (path, snapshot_id)}."""
+    params = params or IMCParams()
+    ph = params.params_hash()
+    os.makedirs(out_dir, exist_ok=True)
+    results: dict[str, tuple[str, str]] = {}
+
+    def stage(name, df, inputs, partition_by=None):
+        path = os.path.join(out_dir, name)
+        out, snap = manifest.materialize(df, path, name, inputs, ph,
+                                         resume=resume, partition_by=partition_by)
+        results[name] = (path, snap)
+        return out, snap
+
+    pts, s_pts = stage("points", extract.pages_to_points(pages), ["pages"])
+    seg_fn = segments.mdl_segments if use_mdl else segments.raw_segments
+    segs, s_seg = stage("segments", seg_fn(pts), [s_pts])
+    pairs, s_pairs = stage("eps_pairs", joins.eps_join(segs, params), [s_seg])
+    assign, s_assign = stage("assignments", dbscan.dbscan(segs, pairs, params),
+                             [s_seg, s_pairs])
+    rep, s_rep = stage("rep_points",
+                       sweep.representative_trajectories(segs, assign, params),
+                       [s_seg, s_assign])
+    rast, s_rast = stage("raster", raster.rasterize(segs, params), [s_seg])
+    polys, s_polys = stage("polygons", raster.extract_polygons(rast, params), [s_rast])
+
+    # tiles := extracted outer polygons (small set → broadcast PIP);
+    # tile_id = venue * 1000 + poly_id (deterministic)
+    tiles_pdf = (polys.filter("is_outer")
+                 .select((F.col("venue") * 1000 + F.col("poly_id")).alias("tile_id"),
+                         "ring")
+                 .toPandas())
+    tiles_pdf["kind"] = "corridor"
+    stage("tile_assignments", joins.tile_assignments(segs, tiles_pdf),
+          [s_seg, s_polys])
+    return results

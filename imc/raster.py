@@ -1,0 +1,94 @@
+"""Occupancy-grid raster operators (SURVEY.md §2.5 raster hit counts, §2.9).
+
+rasterize: segments → sparse (venue, gx, gy, hits) — Amanatides-Woo cell
+traversal in a pandas UDF, explode, hash-aggregate count (partial+final
+combine free). Never a dense 2-D array across the cluster; a venue's grid
+only ever materializes inside one grouped-map task (venue extents are
+bounded, SURVEY.md §1.2 A6).
+
+extract_polygons: per-venue grouped-map — threshold, 4-connected components,
+boundary stitch → corridor/room polygons with deterministic vertex order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from imc import rasterops
+from imc.config import IMCParams
+from imc.kernels import grid_traverse
+
+TRAJ_VENUE_STRIDE = 10_000  # traj_id = venue * stride + walk (fixtures/gen_pages.py)
+
+_CELLS_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("gx", T.IntegerType()),
+    T.StructField("gy", T.IntegerType()),
+]))
+
+
+def _raster_cells_udf(cell: float):
+    @pandas_udf(_CELLS_SCHEMA)
+    def raster_cells(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
+        a1 = x1.to_numpy(np.float64)
+        b1 = y1.to_numpy(np.float64)
+        a2 = x2.to_numpy(np.float64)
+        b2 = y2.to_numpy(np.float64)
+        out = []
+        for i in range(len(a1)):
+            c = grid_traverse(a1[i], b1[i], a2[i], b2[i], cell)
+            out.append([(int(gx), int(gy)) for gx, gy in c])
+        return pd.Series(out)
+
+    return raster_cells
+
+
+def rasterize(segments: DataFrame, params: IMCParams | None = None) -> DataFrame:
+    """raster(venue BIGINT, gx INT, gy INT, hits BIGINT)."""
+    params = params or IMCParams()
+    rc = _raster_cells_udf(params.raster_cell)
+    return (segments
+            .select((F.col("traj_id") / TRAJ_VENUE_STRIDE).cast("long").alias("venue"),
+                    F.explode(rc("x1", "y1", "x2", "y2")).alias("c"))
+            .groupBy("venue", F.col("c.gx").alias("gx"), F.col("c.gy").alias("gy"))
+            .agg(F.count("*").alias("hits")))
+
+
+POLYGON_SCHEMA = T.StructType([
+    T.StructField("venue", T.LongType()),
+    T.StructField("poly_id", T.IntegerType()),
+    T.StructField("is_outer", T.BooleanType()),
+    T.StructField("ring", T.ArrayType(T.StructType([
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ]))),
+])
+
+
+def extract_polygons(raster: DataFrame, params: IMCParams | None = None) -> DataFrame:
+    """raster → polygons(venue, poly_id, is_outer, ring) via per-venue
+    grouped-map (a venue's grid fits in one task)."""
+    params = params or IMCParams()
+    threshold = params.raster_threshold
+    cell = params.raster_cell
+
+    def _extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        venue = int(pdf["venue"].iloc[0])
+        polys = rasterops.raster_to_polygons(
+            pdf["gx"].to_numpy(np.int64), pdf["gy"].to_numpy(np.int64),
+            pdf["hits"].to_numpy(np.int64), threshold, cell)
+        rows = []
+        for lab, ring, outer in polys:
+            rows.append({
+                "venue": venue,
+                "poly_id": int(lab),
+                "is_outer": bool(outer),
+                "ring": [{"x": float(x), "y": float(y)} for x, y in ring],
+            })
+        return pd.DataFrame(rows, columns=["venue", "poly_id", "is_outer", "ring"])
+
+    return raster.groupBy("venue").applyInPandas(_extract, POLYGON_SCHEMA)
