@@ -1,0 +1,84 @@
+"""Multimodal column plumbing (images/audio/video as opaque BINARY columns
+with typed metadata). The decode step is STUBBED — no image/audio libs
+exist in this environment — but the Spark-side plumbing (schema,
+partitioning, Arrow batch shape, mapInPandas signature) is real and tested.
+
+Pattern: media(doc_id BIGINT, media_type STRING, payload BINARY) →
+mapInPandas feature extraction → (doc_id, n_bytes, sha256, feature ARRAY).
+A real decoder (PIL/librosa/ffmpeg) slots into `_decode_payload` without
+touching the dataflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 4
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+])
+
+
+def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB decode: a real implementation would decode the image/audio and
+    produce pixels/samples. Here: deterministic fake 'pixels' derived from
+    the payload bytes so the downstream feature math is exercised for real.
+    Raise NotImplementedError for media types a real decoder would reject."""
+    if media_type not in ("image", "audio", "blob"):
+        raise NotImplementedError(f"decode for media_type={media_type!r}")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    return arr.astype(np.float64)
+
+
+def _extract(batches):
+    for pdf in batches:
+        rows = []
+        for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+            data = bytes(payload)
+            px = _decode_payload(data, mt)
+            # 4-dim feature: mean, std, min, max of the decoded samples
+            feat = [float(px.mean()), float(px.std()), float(px.min()), float(px.max())]
+            rows.append((int(doc_id), len(data),
+                         hashlib.sha256(data).hexdigest(), feat))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "sha256", "feature"])
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """BINARY payload → metadata + feature vector via mapInPandas."""
+    return media.mapInPandas(_extract, FEATURES_SCHEMA)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for the driver testdata: treat each document's utf-8 bytes as
+    an opaque payload (media_type='blob') — exercises the full multimodal
+    dataflow on real Arrow batches."""
+    return documents.select(
+        "doc_id",
+        F.lit("blob").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def media_metadata(documents: DataFrame) -> DataFrame:
+    """SQL-expressible slice of the multimodal output (n_bytes + sha256) —
+    this is what the DuckDB oracle checks; the feature vector itself is
+    covered by unit tests."""
+    feats = media_features(documents_as_media(documents))
+    return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256")

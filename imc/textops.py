@@ -1,0 +1,220 @@
+"""Web-corpus text operators — the large-scale training-data-pipeline side
+of the engine (deduplication, language ID, quality scoring, token counting,
+fingerprinting) over `documents(doc_id, text, lang, source, n_chars)`.
+
+Everything here is pure Catalyst expressions (JVM-side, whole-stage
+codegen) except simhash, which is a vectorized pandas UDF. Each operator
+has an exactly-matching ANSI-SQL twin in __spark_entry__.oracle_sql() —
+the arithmetic is written to be bit-reproducible across Spark and DuckDB
+(md5 hex strings, integer counts, round(…,6) on ratios).
+
+Dedup strategy ladder (exact → near):
+  exact_dedup        md5 grouping, one shuffle, keeper = min doc_id
+  minhash signatures K=8 min-of-md5 over word-3-gram shingles
+  lsh_dup_pairs      band buckets (4 bands × 2 rows) → in-bucket pairs
+  ngram_jaccard      exact word-3-gram Jaccard on LSH candidates
+  simhash            64-bit sign-aggregated token-hash fingerprint (UDF)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+MINHASH_K = 8
+LSH_BANDS = 4  # 2 signature rows per band
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """(text_hash, keeper_id, dup_count) — hash-groupBy exact dedup."""
+    return (documents
+            .groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_hash"))
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count("*").alias("dup_count")))
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_text) — whitespace tokenization."""
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        .cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"))
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, punct_ratio, stop_ratio, quality) — heuristic
+    quality scoring: punctuation density, English stopword rate, length."""
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
+    stop_re = r"\b(the|and|of|to|in)\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(stop_re), 0))
+    nt = F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct_ratio = F.round(n_punct / F.greatest(F.length("text"), F.lit(1)).cast("double"), 6)
+    stop_ratio = F.round(n_stop / nt, 6)
+    # no outer round: the operands are already rounded doubles, so the sum is
+    # bit-identical across engines, while a final round(…,6) straddles
+    # half-way boundaries differently in Spark (BigDecimal HALF_UP) vs DuckDB
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2))
+    return documents.select("doc_id",
+                            n_tokens.cast("long").alias("n_tokens"),
+                            punct_ratio.alias("punct_ratio"),
+                            stop_ratio.alias("stop_ratio"),
+                            quality.alias("quality"))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — stopword-count argmax heuristic language ID.
+    Ties break by fixed language order en>es>de>fr (CASE evaluation order)."""
+    low = F.lower(F.col("text"))
+    counts = {}
+    for lg, words in STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        counts[lg] = F.size(F.regexp_extract_all(low, F.lit(pat), 0))
+    best = F.greatest(*counts.values())
+    pred = (F.when(counts["en"] == best, "en")
+            .when(counts["es"] == best, "es")
+            .when(counts["de"] == best, "de")
+            .otherwise("fr"))
+    return documents.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp) — md5 of whitespace-normalized lowercased text."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return documents.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+
+
+def _shingles(col):
+    """Word-3-gram shingle array (distinct, for Jaccard) as expressions."""
+    words = _words(col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3)))))
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}) — portable minhash: per shingle s and
+    seed i, hash = md5(s || '#' || i); signature_i = lexicographic min.
+    Documents with < 3 words are excluded (no shingles)."""
+    sh = _shingles(F.col("text"))
+    cols = [F.array_min(F.transform(
+        sh, lambda s: F.md5(F.encode(F.concat(s, F.lit(f"#{i}")), "UTF-8"))
+    )).alias(f"sig_{i}") for i in range(k)]
+    return (documents
+            .filter(F.size(_words(F.col("text"))) >= 3)
+            .select("doc_id", *cols))
+
+
+def lsh_dup_pairs(documents: DataFrame, k: int = MINHASH_K,
+                  bands: int = LSH_BANDS) -> DataFrame:
+    """(a_id, b_id) candidate near-duplicate pairs: docs sharing any LSH
+    band bucket (band hash = md5 of its rows concatenated)."""
+    sigs = minhash_signatures(documents, k)
+    rows_per_band = k // bands
+    band_frames = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.encode(F.concat_ws("|", *parts), "UTF-8")).alias("bucket")))
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionByName(bf)
+    a = buckets.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct())
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """(a_id, b_id, jaccard) — exact word-3-gram Jaccard on LSH candidate
+    pairs (the verify step of MinHash+LSH dedup)."""
+    cands = lsh_dup_pairs(documents)
+    sh = documents.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    j = (cands
+         .join(sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id")
+         .join(sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return (j.select("a_id", "b_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (t or "").lower().split():
+            h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        val = 0
+        for b in range(64):
+            if acc[b] > 0:
+                val |= (1 << b)
+        # fold to signed 64-bit
+        if val >= (1 << 63):
+            val -= (1 << 64)
+        out[i] = val
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    return _simhash_batch(text)
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit simhash over whitespace tokens; near-dups
+    have small Hamming distance. Non-SQL-expressible (rows-only check)."""
+    return documents.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a_id, b_id, hamming) — SimHash near-dup pairs via 4×16-bit block
+    LSH (a pair within Hamming ≤ 3 shares at least one exact 16-bit block —
+    pigeonhole), then exact popcount refine. Scales as an equi-join."""
+    sh = simhash_fingerprints(documents)
+    blocks = None
+    for b in range(4):
+        blk = sh.select("doc_id", "simhash", F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(
+                            F.lit(0xFFFF)).alias("key"))
+        blocks = blk if blocks is None else blocks.unionByName(blk)
+    a = blocks.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"),
+                      "blk", "key")
+    b = blocks.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"),
+                      "blk", "key")
+    cand = (a.join(b, ["blk", "key"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_sh", "b_sh")
+            .distinct())
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (cand.select("a_id", "b_id", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
