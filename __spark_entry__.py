@@ -234,15 +234,13 @@ _SHINGLES = (f"list_distinct(list_transform(generate_series(1, "
              f"i -> array_to_string(({_WORDS})[i:i+2], ' ')))")
 
 
-def _sig_expr(i: int) -> str:
-    return (f"list_min(list_transform({_SHINGLES}, "
-            f"s -> md5(s || '#{i}'))) AS sig_{i}")
-
-
 def _sigs_cte() -> str:
-    sig_cols = ", ".join(_sig_expr(i) for i in range(textops.MINHASH_K))
-    return (f"SELECT doc_id, {sig_cols} FROM documents "
-            f"WHERE len({_WORDS}) >= 3")
+    sig_cols = ", ".join(f"min(substr(hh, {8 * i + 1}, 8)) AS sig_{i}"
+                         for i in range(textops.MINHASH_K))
+    return (f"SELECT doc_id, {sig_cols} FROM ("
+            f"  SELECT doc_id, md5(s) || md5(s || '#') AS hh FROM ("
+            f"    SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents"
+            f"    WHERE len({_WORDS}) >= 3)) GROUP BY doc_id")
 
 
 def _bands_cte() -> str:

@@ -115,16 +115,25 @@ def _shingles(col):
 
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, sig_0..sig_{k-1}) — portable minhash: per shingle s and
-    seed i, hash = md5(s || '#' || i); signature_i = lexicographic min.
-    Documents with < 3 words are excluded (no shingles)."""
-    sh = _shingles(F.col("text"))
-    cols = [F.array_min(F.transform(
-        sh, lambda s: F.md5(F.encode(F.concat(s, F.lit(f"#{i}")), "UTF-8"))
-    )).alias(f"sig_{i}") for i in range(k)]
-    return (documents
-            .filter(F.size(_words(F.col("text"))) >= 3)
-            .select("doc_id", *cols))
+    """(doc_id, sig_0..sig_{k-1}) — portable minhash. Per shingle s a 64-hex
+    digest md5(s)||md5(s||'#') is cut into k non-overlapping 8-hex windows;
+    signature_i = lexicographic min of window i over the doc's shingles.
+    Documents with < 3 words are excluded (no shingles).
+
+    Shape: explode → codegen'd md5 projection → hash aggregate with k min()s
+    (map-side partial combine collapses each partition to one row per doc
+    before the shuffle) — higher-order array functions are interpreted
+    per-element in Catalyst and were ~10× slower here."""
+    assert k <= 8
+    sh = (documents
+          .filter(F.size(_words(F.col("text"))) >= 3)
+          .select("doc_id", F.explode(_shingles(F.col("text"))).alias("s")))
+    hh = sh.select(
+        "doc_id",
+        F.concat(F.md5(F.encode(F.col("s"), "UTF-8")),
+                 F.md5(F.encode(F.concat(F.col("s"), F.lit("#")), "UTF-8"))).alias("hh"))
+    aggs = [F.min(F.substring("hh", 8 * i + 1, 8)).alias(f"sig_{i}") for i in range(k)]
+    return hh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_dup_pairs(documents: DataFrame, k: int = MINHASH_K,
