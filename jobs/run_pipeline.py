@@ -1,0 +1,55 @@
+"""spark-submit entry point (EP3, SURVEY.md §3.2; BASELINE.json north_rule
+"run via spark-submit --py-files on a multi-executor cluster").
+
+Usage:
+  spark-submit --py-files imc.zip jobs/run_pipeline.py \
+      --input /path/to/pages_parquet --output /path/to/out \
+      [--eps 1.2] [--min-lns 3] [--gamma 1.0] [--no-resume] [--raw-segments]
+
+The package zip is built by jobs/make_pyfiles.sh; no cluster-side installs.
+Resume: stages whose iceberg-lite manifest matches the content-addressed
+snapshot id (inputs + params) are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--output", required=True, help="output table root")
+    ap.add_argument("--eps", type=float, default=1.2)
+    ap.add_argument("--min-lns", type=int, default=3)
+    ap.add_argument("--gamma", type=float, default=1.0)
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--raw-segments", action="store_true",
+                    help="skip MDL partitioning (debug)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from imc.config import IMCParams
+    from imc.pipeline import run
+
+    spark = (SparkSession.builder.appName("imc-pipeline")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .getOrCreate())
+    params = IMCParams(eps=args.eps, min_lns=args.min_lns, gamma=args.gamma,
+                       salt_buckets=args.salt_buckets)
+    pages = spark.read.parquet(args.input)
+    results = run(spark, pages, args.output, params,
+                  resume=not args.no_resume, use_mdl=not args.raw_segments)
+    print(json.dumps({name: {"path": p, "snapshot": s}
+                      for name, (p, s) in results.items()}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

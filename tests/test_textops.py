@@ -1,0 +1,142 @@
+"""Semantic tests for the web-corpus ops: planted exact/near duplicates are
+found, language ID recovers planted languages, simhash Hamming behaves."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from imc import multimodal, similarity, textops
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs to the "
+        "river to drink some water before returning home in the evening "
+        "while birds sing in the trees and the wind blows gently") * 3
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    # 20 distinct docs
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa",
+             "lambda", "mu", "nu", "tau", "phi"]
+    for i in range(20):
+        words = rng.choice(vocab, size=120).tolist()
+        rows.append((i, " ".join(words), "en", "synth", 0))
+    # exact duplicate of doc 0
+    rows.append((100, rows[0][1], "en", "synth", 0))
+    # near duplicate of BASE (one word changed)
+    rows.append((200, BASE, "en", "synth", 0))
+    rows.append((201, BASE.replace("lazy", "sleepy", 1), "en", "synth", 0))
+    # language-specific docs
+    rows.append((300, "el perro corre en la casa de los amigos que hablan", "es", "synth", 0))
+    rows.append((301, "der hund läuft und die katze schläft das ist nicht gut", "de", "synth", 0))
+    rows.append((302, "le chat est sur la table et les enfants sont la", "fr", "synth", 0))
+    rows.append((303, "the cat and the dog play in the garden of the house", "en", "synth", 0))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    out = textops.exact_dedup(docs).toPandas()
+    dups = out[out["dup_count"] > 1]
+    assert len(dups) == 1
+    assert dups.iloc[0]["keeper_id"] == 0
+    assert dups.iloc[0]["dup_count"] == 2
+
+
+def test_lsh_finds_near_duplicate(spark, docs):
+    pairs = textops.lsh_dup_pairs(docs).toPandas()
+    got = set(zip(pairs["a_id"], pairs["b_id"]))
+    assert (0, 100) in got     # exact dup always shares all bands
+    assert (200, 201) in got   # near dup shares ≥1 band
+
+
+def test_jaccard_verifies_near_duplicate(spark, docs):
+    out = textops.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    got = {(a, b): j for a, b, j in zip(out["a_id"], out["b_id"], out["jaccard"])}
+    assert got.get((0, 100)) == 1.0
+    assert (200, 201) in got
+    assert 0.5 <= got[(200, 201)] < 1.0
+
+
+def test_simhash_near_pairs(spark, docs):
+    fp = textops.simhash_fingerprints(docs).toPandas().set_index("doc_id")["simhash"]
+    ham_exact = bin(int(fp[0]) ^ int(fp[100])).count("1")
+    assert ham_exact == 0
+    ham_near = bin(int(fp[200]) ^ int(fp[201])).count("1")
+    assert ham_near <= 6
+    pairs = textops.simhash_near_pairs(docs, max_hamming=6).toPandas()
+    got = set(zip(pairs["a_id"], pairs["b_id"]))
+    assert (0, 100) in got
+    # near-dup found iff its hamming ≤ threshold AND a 16-bit block matches;
+    # with ham ≤ 6 over 4 blocks pigeonhole can miss only if all blocks
+    # differ — check consistency instead of existence
+    if (200, 201) in got:
+        assert pairs.set_index(["a_id", "b_id"]).loc[(200, 201), "hamming"] == ham_near
+
+
+def test_langid_recovers_planted(spark, docs):
+    out = textops.lang_id(docs).toPandas().set_index("doc_id")["pred_lang"]
+    assert out[300] == "es"
+    assert out[301] == "de"
+    assert out[302] == "fr"
+    assert out[303] == "en"
+
+
+def test_quality_and_tokens(spark, docs):
+    q = textops.quality_scores(docs).toPandas().set_index("doc_id")
+    t = textops.token_counts(docs).toPandas().set_index("doc_id")
+    assert t.loc[303, "n_tokens"] == 12
+    assert (q["quality"] >= 0).all() and (q["quality"] <= 1).all()
+    # English prose scores higher on stop_ratio than random-vocab docs
+    assert q.loc[303, "stop_ratio"] > q.loc[1, "stop_ratio"]
+
+
+def test_media_features_stub_plumbing(spark, docs):
+    feats = multimodal.media_features(multimodal.documents_as_media(docs)).toPandas()
+    assert len(feats) == docs.count()
+    row = feats[feats["doc_id"] == 303].iloc[0]
+    import hashlib
+    txt = "the cat and the dog play in the garden of the house"
+    assert row["n_bytes"] == len(txt.encode())
+    assert row["sha256"] == hashlib.sha256(txt.encode()).hexdigest()
+    arr = np.frombuffer(txt.encode(), dtype=np.uint8).astype(float)
+    np.testing.assert_allclose(row["feature"],
+                               [arr.mean(), arr.std(), arr.min(), arr.max()])
+
+
+def test_ann_bruteforce_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": [v.tolist() for v in mat],
+                        "label": 0})
+    emb = spark.createDataFrame(pdf)
+    got = similarity.ann_topk_bruteforce(emb, k=4, probe_mod=50).toPandas()
+    m64 = mat.astype(np.float64)
+    norms = np.sqrt((m64 * m64).sum(1))
+    for q in range(0, n, 50):
+        s = (m64 @ m64[q]) / (norms * norms[q])
+        s[q] = -np.inf
+        rs = np.round(s, 6)
+        order = np.lexsort((np.arange(n), -rs))[:4]
+        want = set(order.tolist())
+        mine = set(got[got["query_id"] == q]["neighbor_id"].tolist())
+        assert mine == want, q
+
+
+def test_ann_lsh_bucket_consistency(spark):
+    rng = np.random.default_rng(10)
+    n, d = 200, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": [v.tolist() for v in mat],
+                        "label": 0})
+    emb = spark.createDataFrame(pdf)
+    got = similarity.ann_topk_lsh(emb, k=3, probe_mod=50, bits=8).toPandas()
+    # every returned neighbor shares the probe's sign bucket
+    buckets = {i: sum((1 << b) for b in range(8) if mat[i, b] > 0) for i in range(n)}
+    for _, r in got.iterrows():
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+    assert (got["rank"] >= 1).all()
