@@ -17,11 +17,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+PAGES_SF = os.environ.get("IMC_SCALING_PAGES_SF", "0.5")
+
+
 def run_bench(cpus: int, hot: bool = False) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["IMC_BENCH_HOT"] = "1" if hot else "0"
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # scaling protocol: SAME job config at both levels (fixed shuffle
+    # partitioning), corpus large enough that compute dominates the fixed
+    # per-job latencies that would otherwise mask parallel speedup
+    env["IMC_PAGES_SF"] = PAGES_SF
+    env["IMC_SHUFFLE_PARTITIONS"] = "64"
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, env=env, check=True)
     line = out.stdout.strip().splitlines()[-1]
@@ -48,12 +56,18 @@ def main():
     base8, base32 = runs["base_8"], runs["base_32"]
     hot8, hot32 = runs["hot_8"], runs["hot_32"]
 
+    # determinism across parallelism (SURVEY.md §5.2-4): identical row
+    # counts for every stage at local[8] vs local[32]
+    assert base8["rows"] == base32["rows"], (base8["rows"], base32["rows"])
+    assert hot8["rows"] == hot32["rows"], (hot8["rows"], hot32["rows"])
+
     lines = []
     lines.append("# BENCH/BASELINE — measured throughput + scaling efficiency")
     lines.append("")
-    lines.append("Protocol (BASELINE.md): same input (synthetic pages corpus at sf0.1 +")
-    lines.append("driver testdata sf0.1), two parallelism levels `local[8]` vs `local[32]`")
-    lines.append("(no real multi-node cluster in this sandbox); efficiency =")
+    lines.append(f"Protocol (BASELINE.md): same input (synthetic pages corpus at "
+                 f"sf{PAGES_SF} + driver testdata sf0.1), same job config "
+                 f"(64 shuffle partitions), two parallelism levels `local[8]` vs")
+    lines.append("`local[32]` (no real multi-node cluster in this sandbox); efficiency =")
     lines.append("`thr_32 / (4 × thr_8)`. Headline metric = spatial-join +")
     lines.append("tile-assignment rows/sec (BASELINE.json).")
     lines.append("")
@@ -72,6 +86,10 @@ def main():
     for stage in base32["queries"]:
         lines.append(f"| {stage} | {base8['queries'][stage]} | {base32['queries'][stage]} "
                      f"| {stage_eff(base8, base32, stage)} |")
+    lines.append("")
+    lines.append("Determinism: every stage produced identical row counts at both")
+    lines.append("parallelism levels (asserted by this harness) — the scaling runs")
+    lines.append("double as cross-parallelism determinism tests (SURVEY.md §5.2-4).")
     lines.append("")
     lines.append("Raw bench JSON:")
     lines.append("")

@@ -25,10 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    shuffle_parts = os.environ.get("IMC_SHUFFLE_PARTITIONS", str(max(2 * cpus, 16)))
     return (SparkSession.builder
             .master(f"local[{cpus}]")
             .appName("imc-bench")
-            .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
+            .config("spark.sql.shuffle.partitions", shuffle_parts)
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -49,11 +50,14 @@ def main():
 
     base = os.path.basename(sf_dir.rstrip("/"))
     sf = float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+    # the pages-corpus scale can exceed the driver-table scale (scaling runs
+    # use a larger corpus so compute dominates fixed per-job latencies)
+    pages_sf = float(os.environ.get("IMC_PAGES_SF", str(sf)))
     params = IMCParams(eps=1.2, min_lns=3)
 
     # pre-generate fixture outside the timed region (driver testdata is
     # read-only; the pages corpus is derived deterministically at this sf)
-    pages_path = gen_pages.ensure_pages(sf=sf, hot=hot)
+    pages_path = gen_pages.ensure_pages(sf=pages_sf, hot=hot)
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,7 +90,7 @@ def main():
     # THE headline pair: ε-join + tile assignment
     pairs = joins.eps_join(segs, params)
     timed("eps_join", lambda: pairs.count())
-    n_venues = max(1, gen_pages.n_pages_for_sf(sf) // gen_pages.PAGES_PER_VENUE)
+    n_venues = max(1, gen_pages.n_pages_for_sf(pages_sf) // gen_pages.PAGES_PER_VENUE)
     tiles = gen_pages.all_tiles(n_venues)
     timed("tile_assign", lambda: joins.tile_assignments(segs, tiles).count())
 
@@ -125,6 +129,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "pages_sf": pages_sf,
         "cpus": cpus,
         "hot": hot,
         "rows": counts,

