@@ -271,7 +271,10 @@ def write_pages_parquet(out_dir: str, sf: float = 0.001, seed: int = 42,
     ])
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
     path = os.path.join(out_dir, "pages.parquet")
-    pq.write_table(table, path)
+    # small row groups: Spark's scan splits on row-group boundaries — a
+    # single-row-group file forces the whole scan (and any map-side UDF
+    # before the first shuffle) onto one task at any cluster size
+    pq.write_table(table, path, row_group_size=4096)
     return path
 
 

@@ -38,6 +38,17 @@ from imc.config import IMCParams
 _COORDS = ["x1", "y1", "x2", "y2"]
 
 
+def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Repartition iff the input arrives in fewer partitions than the
+    cluster can use (e.g. a small parquet file with one row group) so the
+    map-side UDF stages actually fan out. No-op (and no extra shuffle) for
+    healthy inputs — at real scale inputs always arrive well-partitioned."""
+    want = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _cover_udf(cell_size: float, dilate: bool, ring: int = 1):
     @pandas_udf(T.ArrayType(T.LongType()))
     def cover(x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series) -> pd.Series:
@@ -111,7 +122,7 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     """
     params = params or IMCParams()
     g = params.join_cell
-    segs = segments.select("seg_id", *_COORDS)
+    segs = _ensure_parallelism(segments.select("seg_id", *_COORDS))
 
     left = with_cells(segs, g, dilate=False)
     right = with_cells(segs, g, dilate=True)
@@ -167,6 +178,8 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
     sane ring). Returns (a_seg probe, b_seg base, dist, rank)."""
     params = params or IMCParams()
     g = params.join_cell
+    probes = _ensure_parallelism(probes)
+    base = _ensure_parallelism(base)
 
     p = with_cells(probes.select("seg_id", *_COORDS), g, dilate=True, ring=ring) \
         .select(F.col("seg_id").alias("a_seg"),
@@ -239,4 +252,4 @@ def tile_assignments(segments: DataFrame, tiles_pdf: pd.DataFrame) -> DataFrame:
     pip = _pip_udf(tiles_pdf)
     mx = (F.col("x1") + F.col("x2")) / 2.0
     my = (F.col("y1") + F.col("y2")) / 2.0
-    return segments.select("seg_id", pip(mx, my).alias("tile_id"))
+    return _ensure_parallelism(segments).select("seg_id", pip(mx, my).alias("tile_id"))

@@ -51,6 +51,8 @@ def rasterize(segments: DataFrame, params: IMCParams | None = None) -> DataFrame
     """raster(venue BIGINT, gx INT, gy INT, hits BIGINT)."""
     params = params or IMCParams()
     rc = _raster_cells_udf(params.raster_cell)
+    from imc.joins import _ensure_parallelism
+    segments = _ensure_parallelism(segments)
     return (segments
             .select((F.col("traj_id") / TRAJ_VENUE_STRIDE).cast("long").alias("venue"),
                     F.explode(rc("x1", "y1", "x2", "y2")).alias("c"))
