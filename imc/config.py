@@ -27,9 +27,11 @@ class IMCParams:
 
     @property
     def join_cell(self) -> float:
-        """Prefilter cell size; must be ≥ 2ε for the cover+ring1 guarantee
-        (imc.cells docstring)."""
-        return self.cell_size if self.cell_size > 0 else 2.0 * self.eps
+        """Prefilter cell size; any g ≥ 2ε keeps the cover+ring1 guarantee
+        (imc.cells docstring). Default 4ε: measured fastest — halves the
+        dilated-side explode/shuffle volume, and the bbox prefilter absorbs
+        the extra in-cell false positives before the dedupe shuffle."""
+        return self.cell_size if self.cell_size > 0 else 4.0 * self.eps
 
     def params_hash(self) -> str:
         payload = json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -152,8 +152,22 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     r = right.select(F.col("seg_id").alias("b_seg"),
                      *[F.col(c).alias(f"b{c}") for c in _COORDS],
                      *join_keys)
+    # bbox prefilter (pure codegen, before the dedupe shuffle): TRACLUS
+    # dist ≤ ε ⟹ some endpoint pair within gap_bound (see imc/cells.py);
+    # the bbox gap lower-bounds every point-pair distance, so pairs with
+    # bbox gap > gap_bound are provably not within ε. Cuts the candidate
+    # set (and both downstream shuffles + the refine UDF input) ~2-5×.
+    gap_bound = max(2.0 / max(params.w_perp, 1e-9),
+                    1.0 / max(params.w_par, 1e-9)) * params.eps
+    dx = F.greatest(F.lit(0.0),
+                    F.least("ax1", "ax2") - F.greatest("bx1", "bx2"),
+                    F.least("bx1", "bx2") - F.greatest("ax1", "ax2"))
+    dy = F.greatest(F.lit(0.0),
+                    F.least("ay1", "ay2") - F.greatest("by1", "by2"),
+                    F.least("by1", "by2") - F.greatest("ay1", "ay2"))
     cands = (l.join(r, join_keys)
              .filter(F.col("a_seg") < F.col("b_seg"))
+             .filter(dx * dx + dy * dy <= F.lit(gap_bound * gap_bound))
              .dropDuplicates(["a_seg", "b_seg"]))
 
     pd_udf = _pair_dist_udf(params.w_perp, params.w_par, params.w_ang)
