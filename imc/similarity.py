@@ -85,10 +85,14 @@ def ann_topk_bruteforce(embeddings: DataFrame, k: int = 5,
 
 def sign_bucket(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     """(vec_id, bucket) — hyperoctant LSH key from the signs of the first
-    `bits` dimensions (deterministic, SQL-expressible)."""
+    `bits` dimensions (deterministic, SQL-expressible). NULL elements and
+    embeddings shorter than `bits` dims map to bucket bit 0 (coalesce), the
+    same semantics as the DuckDB oracle's CASE ... ELSE 0 — no row is ever
+    silently dropped from the LSH join."""
     b = None
     for i in range(bits):
-        bit = (F.element_at("embedding", i + 1) > 0).cast("long") * F.lit(1 << i)
+        bit = F.coalesce((F.try_element_at("embedding", F.lit(i + 1)) > 0).cast("long"),
+                         F.lit(0)) * F.lit(1 << i)
         b = bit if b is None else b + bit
     return embeddings.select("vec_id", b.alias("bucket"))
 

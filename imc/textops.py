@@ -106,10 +106,17 @@ def fingerprints(documents: DataFrame) -> DataFrame:
 
 
 def _shingles(col):
-    """Word-3-gram shingle array (distinct, for Jaccard) as expressions."""
+    """Word-3-gram shingle array (distinct, for Jaccard) as expressions.
+
+    Docs with < 3 words get an EMPTY array: Spark's sequence(1, 0) is the
+    descending [1, 0] (not empty like DuckDB's generate_series), and
+    slice(words, 0, 3) then throws INVALID_PARAMETER_VALUE.START — so the
+    index list is guarded explicitly (matches the DuckDB oracle, whose
+    generate_series(1, 0) is already empty)."""
     words = _words(col)
     n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0)))
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - F.lit(2))) \
+        .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3)))))
 

@@ -105,6 +105,44 @@ def test_media_features_stub_plumbing(spark, docs):
                                [arr.mean(), arr.std(), arr.min(), arr.max()])
 
 
+def test_short_docs_do_not_crash_shingles(spark):
+    """ADVICE r01 (high): docs with < 3 words used to crash the jaccard path
+    with INVALID_PARAMETER_VALUE.START (sequence(1,0) → slice(words,0,3));
+    now they shingle to an empty array and simply can't pair."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["", "one", "two words", "exactly three words", BASE],
+        "lang": "en", "source": "synth", "n_chars": 0,
+    })
+    docs = spark.createDataFrame(pdf)
+    jac = textops.ngram_jaccard_pairs(docs, threshold=0.1).toPandas()
+    assert not set(jac["a_id"]).intersection({0, 1, 2})
+    sigs = textops.minhash_signatures(docs).toPandas()
+    assert set(sigs["doc_id"]) == {3, 4}  # <3-word docs excluded
+    # quality/tokens handle empty text too
+    q = textops.quality_scores(docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 0
+
+
+def test_sign_bucket_null_and_short_embeddings(spark):
+    """ADVICE r01 (low): NULL elements / embeddings shorter than `bits` dims
+    map to bucket bit 0 instead of a NULL bucket that drops the row."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    rows = [(0, [1.0, -1.0]),            # shorter than 8 dims
+            (1, [1.0, None, 1.0]),       # NULL element
+            (2, [1.0] * 8)]
+    emb = spark.createDataFrame(rows, schema)
+    out = similarity.sign_bucket(emb, bits=8).toPandas().set_index("vec_id")
+    assert out.loc[0, "bucket"] == 1            # only dim-0 positive
+    assert out.loc[1, "bucket"] == 1 + 4        # NULL dim → 0
+    assert out.loc[2, "bucket"] == 255
+    assert out["bucket"].notna().all()
+
+
 def test_ann_bruteforce_matches_numpy(spark):
     rng = np.random.default_rng(9)
     n, d = 300, 16
