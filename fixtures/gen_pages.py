@@ -91,7 +91,8 @@ def venue_tiles(vx: float = 0.0, vy: float = 0.0, venue: int = 0) -> pd.DataFram
         else:         # vertical
             ring = [(x1 - CORRIDOR_HALF_W, y1), (x1 + CORRIDOR_HALF_W, y1),
                     (x1 + CORRIDOR_HALF_W, y2), (x1 - CORRIDOR_HALF_W, y2)]
-        rows.append({"tile_id": tid, "ring": [{"x": float(x), "y": float(y)} for x, y in ring],
+        rows.append({"tile_id": tid, "venue": venue,
+                     "ring": [{"x": float(x), "y": float(y)} for x, y in ring],
                      "kind": "corridor"})
         tid += 1
     # 4 rooms off the midpoints of edges 0,2,6,8 (south/south/west/west offsets)
@@ -104,7 +105,8 @@ def venue_tiles(vx: float = 0.0, vy: float = 0.0, venue: int = 0) -> pd.DataFram
         cy = my + ddy * (CORRIDOR_HALF_W + 1.0 + ROOM_SIZE / 2.0)
         h = ROOM_SIZE / 2.0
         ring = [(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h), (cx - h, cy + h)]
-        rows.append({"tile_id": tid, "ring": [{"x": float(x), "y": float(y)} for x, y in ring],
+        rows.append({"tile_id": tid, "venue": venue,
+                     "ring": [{"x": float(x), "y": float(y)} for x, y in ring],
                      "kind": "room"})
         tid += 1
     return pd.DataFrame(rows)

@@ -52,10 +52,11 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
     polys, s_polys = stage("polygons", raster.extract_polygons(rast, params), [s_rast])
 
     # tiles := extracted outer polygons (small set → broadcast PIP);
-    # tile_id = venue * 1000 + poly_id (deterministic)
+    # tile_id = venue * 1000 + poly_id (deterministic). The `venue` column
+    # keys the broadcast dict so each probe tests only its venue's rings.
     tiles_pdf = (polys.filter("is_outer")
                  .select((F.col("venue") * 1000 + F.col("poly_id")).alias("tile_id"),
-                         "ring")
+                         "venue", "ring")
                  .toPandas())
     tiles_pdf["kind"] = "corridor"
     stage("tile_assignments", joins.tile_assignments(segs, tiles_pdf),

@@ -89,17 +89,20 @@ def mdl_segments(points: DataFrame) -> DataFrame:
     per-group overhead)."""
 
     def _mdl_partitioned(batches):
-        import collections
-
         # a trajectory can span Arrow batch boundaries within the partition
-        # (rows are sorted by traj_id, seq) — buffer rows per trajectory and
-        # flush when the id changes
+        # (rows are sorted by traj_id, seq) — buffer ARRAY SLICES per
+        # trajectory (no per-row Python objects) and flush on id change
         pend_id = None
-        pend = []
+        pend: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
-        def flush(tid, rows):
-            pts = np.asarray([(r[0], r[1]) for r in rows], dtype=np.float64)
-            seqs = np.asarray([r[2] for r in rows], dtype=np.int64)
+        def flush(tid, chunks):
+            if len(chunks) == 1:
+                xs, ys, seqs = chunks[0]
+            else:
+                xs = np.concatenate([c[0] for c in chunks])
+                ys = np.concatenate([c[1] for c in chunks])
+                seqs = np.concatenate([c[2] for c in chunks])
+            pts = np.stack([xs, ys], axis=1)
             cp = mdl_partition(pts)
             if len(cp) < 2:
                 return None
@@ -112,7 +115,6 @@ def mdl_segments(points: DataFrame) -> DataFrame:
                 "x2": pts[b, 0], "y2": pts[b, 1],
             })
 
-        out = collections.deque()
         for pdf in batches:
             xs = pdf["x"].to_numpy(np.float64)
             ys = pdf["y"].to_numpy(np.float64)
@@ -125,16 +127,16 @@ def mdl_segments(points: DataFrame) -> DataFrame:
             frames = []
             for s, e in zip(starts, ends):
                 tid = int(tids[s])
-                rows = list(zip(xs[s:e], ys[s:e], seqs[s:e]))
+                chunk = (xs[s:e], ys[s:e], seqs[s:e])
                 if pend_id is not None and tid == pend_id:
-                    pend.extend(rows)
+                    pend.append(chunk)
                     continue
                 if pend_id is not None:
                     f = flush(pend_id, pend)
                     if f is not None:
                         frames.append(f)
                 pend_id = tid
-                pend = rows
+                pend = [chunk]
             if frames:
                 yield pd.concat(frames, ignore_index=True)
         if pend_id is not None:

@@ -62,6 +62,30 @@ def test_pages_to_points_matches_truth(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_builtin_extract_equals_udf_twin(spark):
+    """The Catalyst extract/parse path is byte-identical to the pandas-UDF
+    reference twins (the round-1 implementation, kept as the oracle)."""
+    from pyspark.sql import functions as F
+    path = gen_pages.ensure_pages(sf=0.001)
+    pages = spark.read.parquet(path)
+    both = pages.select(
+        "url", "warc_ts",
+        extract.extract_text_col(F.col("html")).alias("builtin"),
+        extract.extract_text(F.col("html")).alias("udf"))
+    assert both.filter("builtin != udf OR builtin IS NULL").count() == 0
+    # parse: builtin explode path vs UDF struct path, same multiset
+    udf_pts = (pages.select(F.explode(extract.parse_points(
+        extract.extract_text(F.col("html")))).alias("p"))
+        .select("p.traj_id", "p.seq", "p.x", "p.y", "p.t").toPandas())
+    bi_pts = (pages.select(F.explode(extract.parse_points_cols(
+        extract.extract_text_col(F.col("html")))).alias("_ln"))
+        .select(*extract._point_fields(F.col("_ln"))).toPandas())
+    udf_pts = udf_pts.sort_values(["traj_id", "seq"]).reset_index(drop=True)
+    bi_pts = bi_pts.sort_values(["traj_id", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(udf_pts, bi_pts)
+
+
+@pytest.mark.usefixtures("spark")
 def test_text_sha_invariant_on_spark(spark):
     """Extracted sha per url equals sha of stored ground-truth text."""
     path = gen_pages.ensure_pages(sf=0.001)

