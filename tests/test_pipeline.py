@@ -20,7 +20,8 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
 
     results = pipeline.run(spark, pages, out, PARAMS)
     expected = {"points", "segments", "eps_pairs", "assignments",
-                "rep_points", "raster", "polygons", "tile_assignments"}
+                "rep_points", "corridors", "raster", "polygons",
+                "tile_assignments"}
     assert set(results) == expected
     for name, (p, snap) in results.items():
         m = manifest.read_manifest(p)
@@ -50,3 +51,32 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     results4 = pipeline.run(spark, pages, out, PARAMS)
     assert results4["points"][1] == results["points"][1]
     assert manifest.read_manifest(results["points"][0])["snapshot_id"] == results["points"][1]
+
+    # DIFFERENT input, same output dir → root fingerprint differs → every
+    # stage recomputes instead of returning stale outputs (ADVICE r01)
+    hot_pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001, hot=True))
+    results5 = pipeline.run(spark, hot_pages, out, PARAMS)
+    assert results5["points"][1] != results["points"][1]
+    assert results5["eps_pairs"][1] != results["eps_pairs"][1]
+
+
+@pytest.mark.usefixtures("spark")
+def test_partitioned_stages_prune(spark, tmp_path):
+    """points/segments/raster/polygons are hive-partitioned by venue; a
+    venue predicate must reach the scan as a PartitionFilter (SURVEY.md
+    §4.2), so bbox/venue queries prune instead of scanning the world."""
+    path = gen_pages.ensure_pages(sf=0.001)
+    pages = spark.read.parquet(path)
+    out = str(tmp_path / "runp")
+    results = pipeline.run(spark, pages, out, PARAMS)
+    for name in ("points", "segments", "raster", "polygons"):
+        assert os.path.isdir(os.path.join(results[name][0], "venue=0")), name
+    seg = spark.read.parquet(results["segments"][0]).filter("venue = 0")
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "venue" in scan[:200]
+    # in-memory input → unique fingerprint → resume never skips
+    mem = spark.createDataFrame(pages.limit(20).toPandas())
+    ra = pipeline.run(spark, mem, str(tmp_path / "runm"), PARAMS)
+    rb = pipeline.run(spark, mem, str(tmp_path / "runm"), PARAMS)
+    assert ra["points"][1] != rb["points"][1]

@@ -59,6 +59,20 @@ def test_jaccard_verifies_near_duplicate(spark, docs):
     assert 0.5 <= got[(200, 201)] < 1.0
 
 
+def test_simhash_vectorized_equals_python_twin(spark, docs):
+    """The Catalyst simhash reproduces the scalar md5-bit-vote definition
+    exactly (incl. empty-text → 0)."""
+    import pandas as pdd
+    extra = spark.createDataFrame(pdd.DataFrame({
+        "doc_id": [900, 901], "text": ["", "  "],
+        "lang": "en", "source": "synth", "n_chars": 0}))
+    both = docs.unionByName(extra)
+    got = textops.simhash_fingerprints(both).toPandas().set_index("doc_id")["simhash"]
+    texts = both.select("doc_id", "text").toPandas()
+    for _, r in texts.iterrows():
+        assert int(got[r["doc_id"]]) == textops.simhash64_py(r["text"]), r["doc_id"]
+
+
 def test_simhash_near_pairs(spark, docs):
     fp = textops.simhash_fingerprints(docs).toPandas().set_index("doc_id")["simhash"]
     ham_exact = bin(int(fp[0]) ^ int(fp[100])).count("1")
