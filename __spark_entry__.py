@@ -349,12 +349,13 @@ def _traclus_chain() -> str:
              ELSE 0.0 END AS d_perp,
         least(least(abs(t1), abs(1.0-t1))*lb,
               least(abs(t2), abs(1.0-t2))*lb) AS d_par,
-        (ux*(o2x-o1x) + uy*(o2y-o1y)) / greatest(lb*lo, 1e-12) AS craw
+        (ux*(o2x-o1x) + uy*(o2y-o1y)) / greatest(lb*lo, 1e-12) AS craw,
+        least(abs(ux*(o2y-o1y) - uy*(o2x-o1x))
+              / greatest(lb*lo, 1e-12), 1.0) AS sint
       FROM m4),
     m6 AS (
       SELECT a_seg, b_seg, d_perp, d_par,
-        CASE WHEN c >= 0.0 THEN lo * sqrt(greatest(1.0 - c*c, 0.0))
-             ELSE lo END AS d_ang
+        CASE WHEN c >= 0.0 THEN lo * sint ELSE lo END AS d_ang
       FROM (SELECT *, least(greatest(craw, -1.0), 1.0) AS c FROM m5))
     """
 

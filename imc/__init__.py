@@ -13,8 +13,9 @@ Layout (SURVEY.md §7.8):
   extract.py   pages → points (extract_text, parse_points pandas UDFs)
   segments.py  points → segments (window lead) + MDL partitioning
   joins.py     ε self-join / kNN join (cell prefilter + exact refine), PIP
-  dbscan.py    segment DBSCAN via agg + label propagation
+  dbscan.py    segment DBSCAN via agg + contracting label propagation
   sweep.py     representative-trajectory sweep per cluster
+  corridors.py corridor polygons: miter-offset buffer of rep polylines
   raster.py    rasterize segments / raster→vector polygon extraction
   manifest.py  iceberg-lite snapshot/resume manifests over parquet
   pipeline.py  end-to-end run (EP1 in SURVEY.md §3.2)

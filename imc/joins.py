@@ -113,6 +113,109 @@ def _pair_dist_udf(w_perp: float, w_par: float, w_ang: float):
     return pair_dist.asNondeterministic()
 
 
+def _hyp(dx: Column, dy: Column) -> Column:
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def with_traclus_dist(df: DataFrame, w_perp: float = 1.0, w_par: float = 1.0,
+                      w_ang: float = 1.0, out: str = "dist") -> DataFrame:
+    """Append the TRACLUS segment distance over candidate-pair columns
+    (ax1..ay2, bx1..by2) as PURE CATALYST expressions — same float64
+    formula sequence as kernels.traclus_distance (sqrt(x²+y²) replaces
+    np.hypot; ≤1 ulp apart, golden-gated at 1e-9). The whole ε-join refine
+    then runs JVM-side inside whole-stage codegen with zero Arrow transfer;
+    the pandas-UDF kernel remains as the equivalence-test twin.
+
+    Built as STAGED projections (one withColumns per dependency level):
+    CollapseProject keeps multiply-referenced non-cheap intermediates as
+    named columns, so t1/ll2/lp1/… are computed once per row instead of
+    being inlined into an exponentially duplicated expression tree (the
+    single-Column form measured ~30% slower at low core counts)."""
+    eps0 = F.lit(1e-12)
+    one = F.lit(1.0)
+    ax1, ay1, ax2, ay2 = F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2")
+    bx1, by1, bx2, by2 = F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")
+    df = df.withColumns({
+        "_la": _hyp(ax2 - ax1, ay2 - ay1),
+        "_lb0": _hyp(bx2 - bx1, by2 - by1),
+    })
+    a_base = F.col("_la") >= F.col("_lb0")
+
+    def pick(av: Column, bv: Column) -> Column:
+        return F.when(a_base, av).otherwise(bv)
+
+    df = df.withColumns({
+        "_q1x": pick(ax1, bx1), "_q1y": pick(ay1, by1),
+        "_q2x": pick(ax2, bx2), "_q2y": pick(ay2, by2),
+        "_o1x": pick(bx1, ax1), "_o1y": pick(by1, ay1),
+        "_o2x": pick(bx2, ax2), "_o2y": pick(by2, ay2),
+        "_lb": pick(F.col("_la"), F.col("_lb0")),
+        "_lo": pick(F.col("_lb0"), F.col("_la")),
+    })
+    q1x, q1y = F.col("_q1x"), F.col("_q1y")
+    o1x, o1y = F.col("_o1x"), F.col("_o1y")
+    o2x, o2y = F.col("_o2x"), F.col("_o2y")
+    lb, lo = F.col("_lb"), F.col("_lo")
+    df = df.withColumns({
+        "_ux": F.col("_q2x") - q1x,
+        "_uy": F.col("_q2y") - q1y,
+    })
+    ux, uy = F.col("_ux"), F.col("_uy")
+    df = df.withColumns({
+        "_ll2": F.greatest(ux * ux + uy * uy, eps0),
+        "_den": F.greatest(lb * lo, eps0),
+    })
+    df = df.withColumns({
+        "_t1": ((o1x - q1x) * ux + (o1y - q1y) * uy) / F.col("_ll2"),
+        "_t2": ((o2x - q1x) * ux + (o2y - q1y) * uy) / F.col("_ll2"),
+    })
+    t1, t2 = F.col("_t1"), F.col("_t2")
+    df = df.withColumns({
+        "_lp1": _hyp(o1x - (q1x + t1 * ux), o1y - (q1y + t1 * uy)),
+        "_lp2": _hyp(o2x - (q1x + t2 * ux), o2y - (q1y + t2 * uy)),
+        "_c": F.least(F.greatest(
+            (ux * (o2x - o1x) + uy * (o2y - o1y)) / F.col("_den"),
+            F.lit(-1.0)), one),
+        "_sin": F.least(
+            F.abs(ux * (o2y - o1y) - uy * (o2x - o1x)) / F.col("_den"), one),
+    })
+    lp1, lp2 = F.col("_lp1"), F.col("_lp2")
+    d_perp = F.when(lp1 + lp2 > 0,
+                    (lp1 * lp1 + lp2 * lp2) / F.greatest(lp1 + lp2, eps0)
+                    ).otherwise(F.lit(0.0))
+    d_par = F.least(F.least(F.abs(t1), F.abs(one - t1)) * lb,
+                    F.least(F.abs(t2), F.abs(one - t2)) * lb)
+    d_ang = F.when(F.col("_c") >= 0, lo * F.col("_sin")).otherwise(lo)
+    dist = F.lit(w_perp) * d_perp + F.lit(w_par) * d_par + F.lit(w_ang) * d_ang
+    df = df.withColumn(out, dist)
+    return df.drop("_la", "_lb0", "_q1x", "_q1y", "_q2x", "_q2y",
+                   "_o1x", "_o1y", "_o2x", "_o2y", "_lb", "_lo",
+                   "_ux", "_uy", "_ll2", "_den", "_t1", "_t2",
+                   "_lp1", "_lp2", "_c", "_sin")
+
+
+def _pt_seg_dist_expr(px, py, x1, y1, x2, y2) -> Column:
+    ux, uy = x2 - x1, y2 - y1
+    ll2 = ux * ux + uy * uy
+    t = F.when(ll2 > 0, ((px - x1) * ux + (py - y1) * uy)
+               / F.greatest(ll2, F.lit(1e-12))).otherwise(F.lit(0.0))
+    t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+    return _hyp(px - (x1 + t * ux), py - (y1 + t * uy))
+
+
+def hausdorff_dist_expr() -> Column:
+    """Segment Hausdorff distance as Catalyst expressions (max over the
+    four endpoint→other-segment distances; kernels.hausdorff_distance twin)."""
+    ax1, ay1, ax2, ay2 = F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2")
+    bx1, by1, bx2, by2 = F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")
+    return F.greatest(
+        _pt_seg_dist_expr(ax1, ay1, bx1, by1, bx2, by2),
+        _pt_seg_dist_expr(ax2, ay2, bx1, by1, bx2, by2),
+        _pt_seg_dist_expr(bx1, by1, ax1, ay1, ax2, ay2),
+        _pt_seg_dist_expr(bx2, by2, ax1, ay1, ax2, ay2),
+    )
+
+
 def _responsible_cell_expr(g: float, r_left: float, r_right: float) -> Column:
     """The candidate pair's unique responsible cell: the cell containing the
     bottom-left corner of the intersection of (a's bbox expanded by r_left)
@@ -201,16 +304,15 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
              .filter(F.col("a_seg") < F.col("b_seg"))
              # fused dedupe: keep the pair only in its responsible cell
              .filter(F.col("cell") == _responsible_cell_expr(g, r, r))
-             # codegen bbox-gap prefilter before the refine UDF
+             # codegen bbox-gap prefilter before the exact refine
              .filter(_bbox_gap2() <= F.lit(gap * gap)))
 
-    pd_udf = _pair_dist_udf(params.w_perp, params.w_par, params.w_ang)
-    dist_struct = pd_udf(*[F.col(f"a{c}") for c in _COORDS],
-                         *[F.col(f"b{c}") for c in _COORDS])
-    dist_col = F.col("_d.d_traclus") if metric == "traclus" else F.col("_d.d_hausdorff")
-    return (cands
-            .withColumn("_d", dist_struct)
-            .withColumn("dist", dist_col)
+    # exact refine as Catalyst expressions — the whole ε-join is one
+    # shuffle of whole-stage-codegen'd stages, zero Python
+    refined = (with_traclus_dist(cands, params.w_perp, params.w_par, params.w_ang)
+               if metric == "traclus"
+               else cands.withColumn("dist", hausdorff_dist_expr()))
+    return (refined
             .filter(F.col("dist") <= F.lit(params.eps))
             .select("a_seg", "b_seg", "dist"))
 
@@ -248,10 +350,11 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
                  .select(F.col("seg_id").alias("a_seg"), *a_cols)
                  .localCheckpoint(eager=True))
 
-    pd_udf = _pair_dist_udf(params.w_perp, params.w_par, params.w_ang)
-    dist_struct = pd_udf(*[F.col(f"a{c}") for c in _COORDS],
-                         *[F.col(f"b{c}") for c in _COORDS])
-    dist_col = F.col("_d.d_traclus") if metric == "traclus" else F.col("_d.d_hausdorff")
+    def refine(df: DataFrame) -> DataFrame:
+        if metric == "traclus":
+            return with_traclus_dist(df, params.w_perp, params.w_par, params.w_ang)
+        return df.withColumn("dist", hausdorff_dist_expr())
+
     w = Window.partitionBy("a_seg").orderBy(F.round("dist", 6), "b_seg")
 
     out: DataFrame | None = None
@@ -266,12 +369,11 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
                      F.floor((F.greatest("ay1", "ay2") + R) / g))))
                  .withColumn("cell", _cell_key(F.col("_ix"), F.col("_iy")))
                  .drop("_ix", "_iy"))
-        topk = (p_cov.join(base_cov, "cell")
+        cand = (p_cov.join(base_cov, "cell")
                 .filter(F.col("a_seg") != F.col("b_seg"))
                 # asymmetric responsible cell (probe expanded by R, base by 0)
-                .filter(F.col("cell") == _responsible_cell_expr(g, R, 0.0))
-                .withColumn("_d", dist_struct)
-                .withColumn("dist", dist_col)
+                .filter(F.col("cell") == _responsible_cell_expr(g, R, 0.0)))
+        topk = (refine(cand)
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("a_seg", "b_seg", "dist", "rank")
@@ -296,38 +398,55 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
 TRAJ_VENUE_STRIDE = 10_000  # traj_id = venue * stride + walk (fixtures)
 
 
-def _ring_rows(tiles_pdf: pd.DataFrame) -> list:
-    """tiles rows → [(tile_id, (M,2) ring array, bbox)] sorted by tile_id
-    (lowest containing tile_id wins — pinned)."""
-    rings = []
-    for _, row in tiles_pdf.sort_values("tile_id").iterrows():
-        ring = np.array([[p["x"], p["y"]] for p in row["ring"]], dtype=np.float64)
-        bbox = (ring[:, 0].min(), ring[:, 0].max(), ring[:, 1].min(), ring[:, 1].max())
-        rings.append((int(row["tile_id"]), ring, bbox))
-    return rings
+class _PackedTiles:
+    """Broadcast payload of the PIP: all tile rings packed into FLAT numpy
+    arrays (tile_ids, venues, per-tile bboxes, ring vertex offsets, one
+    (total_pts, 2) coordinate block). A dict of 100k+ per-venue Python
+    lists pickles in tens of seconds and made the PIP stage wall-time flat
+    across core counts (each Python worker paid the deserialize); flat
+    arrays pickle as raw buffers in milliseconds. Tiles are sorted by
+    (venue, tile_id); venue slices found by searchsorted."""
 
+    def __init__(self, tiles_pdf: pd.DataFrame, venue_keyed: bool):
+        df = tiles_pdf.copy()
+        if not venue_keyed:
+            df["venue"] = 0
+        df = df.sort_values(["venue", "tile_id"])
+        rings = [np.array([[p["x"], p["y"]] for p in r], dtype=np.float64)
+                 for r in df["ring"]]
+        self.tile_ids = df["tile_id"].to_numpy(np.int64)
+        self.venues = df["venue"].to_numpy(np.int64)
+        self.offsets = np.concatenate(
+            [[0], np.cumsum([r.shape[0] for r in rings])]).astype(np.int64)
+        self.coords = (np.concatenate(rings, axis=0) if rings
+                       else np.zeros((0, 2), dtype=np.float64))
+        self.bbox = np.stack([
+            np.array([r[:, 0].min() for r in rings]),
+            np.array([r[:, 0].max() for r in rings]),
+            np.array([r[:, 1].min() for r in rings]),
+            np.array([r[:, 1].max() for r in rings]),
+        ], axis=1) if rings else np.zeros((0, 4))
 
-def _assign_points(px: np.ndarray, py: np.ndarray, rings: list,
-                   out: np.ndarray, sel: np.ndarray) -> None:
-    """Vectorized bbox-prefiltered even-odd PIP over ONE ring list; writes
-    tile ids into out[sel] (first containing ring in tile_id order wins)."""
-    unassigned = sel.copy()
-    for tile_id, ring, (x0, x1b, y0, y1b) in rings:
-        mask = unassigned & (px >= x0) & (px <= x1b) & (py >= y0) & (py <= y1b)
-        if not mask.any():
-            continue
-        inside = kernels.point_in_polygon(px[mask], py[mask], ring)
-        idx = np.nonzero(mask)[0][inside]
-        out[idx] = tile_id
-        unassigned[idx] = False
+    def venue_slice(self, v: int) -> range:
+        lo = int(np.searchsorted(self.venues, v, side="left"))
+        hi = int(np.searchsorted(self.venues, v, side="right"))
+        return range(lo, hi)
 
-
-def _build_venue_rings(tiles_pdf: pd.DataFrame) -> dict[int, list]:
-    """venue → ring list. The broadcast payload of the venue-keyed PIP:
-    each probe tests ONLY its venue's rings, so per-point work is O(rings
-    per venue), constant in the number of venues/tiles in the corpus."""
-    return {int(v): _ring_rows(grp)
-            for v, grp in tiles_pdf.groupby("venue", sort=True)}
+    def assign(self, px: np.ndarray, py: np.ndarray, tile_range,
+               out: np.ndarray, sel: np.ndarray) -> None:
+        """Vectorized bbox-prefiltered even-odd PIP over one tile range;
+        writes tile ids into out[sel] (lowest tile_id wins — pinned)."""
+        unassigned = sel.copy()
+        for t in tile_range:
+            x0, x1b, y0, y1b = self.bbox[t]
+            mask = unassigned & (px >= x0) & (px <= x1b) & (py >= y0) & (py <= y1b)
+            if not mask.any():
+                continue
+            ring = self.coords[self.offsets[t]:self.offsets[t + 1]]
+            inside = kernels.point_in_polygon(px[mask], py[mask], ring)
+            idx = np.nonzero(mask)[0][inside]
+            out[idx] = self.tile_ids[t]
+            unassigned[idx] = False
 
 
 def tile_assignments(segments: DataFrame, tiles_pdf: pd.DataFrame) -> DataFrame:
@@ -335,16 +454,14 @@ def tile_assignments(segments: DataFrame, tiles_pdf: pd.DataFrame) -> DataFrame:
     Broadcast nested-loop → vectorized ray crossing; map-side only, zero
     shuffle. Returns (seg_id, tile_id); tile_id = -1 when uncontained.
 
-    When tiles_pdf carries a `venue` column (and segments a traj_id), the
-    broadcast is a venue-keyed dict and each probe tests only its own
-    venue's rings — per-batch cost stays flat as the corpus grows to
-    millions of tiles (VERDICT r01 What's-wrong #1). Without `venue` every
-    ring is tested (legacy single-venue path)."""
+    When tiles_pdf carries a `venue` column (and segments a traj_id), each
+    probe tests only its own venue's tile slice — per-batch cost stays flat
+    as the corpus grows to millions of tiles (VERDICT r01 What's-wrong #1).
+    Without `venue` every ring is tested (legacy single-venue path)."""
     venue_keyed = "venue" in tiles_pdf.columns and "traj_id" in segments.columns
+    packed = _PackedTiles(tiles_pdf, venue_keyed)
 
     if venue_keyed:
-        by_venue = _build_venue_rings(tiles_pdf)
-
         @pandas_udf(T.LongType())
         def pip_assign(venue: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
             px = x.to_numpy(np.float64)
@@ -352,21 +469,20 @@ def tile_assignments(segments: DataFrame, tiles_pdf: pd.DataFrame) -> DataFrame:
             vs = venue.to_numpy(np.int64)
             out = np.full(len(px), -1, dtype=np.int64)
             for v in np.unique(vs):
-                rings = by_venue.get(int(v))
-                if rings:
-                    _assign_points(px, py, rings, out, vs == v)
+                out_range = packed.venue_slice(int(v))
+                if len(out_range):
+                    packed.assign(px, py, out_range, out, vs == v)
             return pd.Series(out)
 
         args_front = [(F.col("traj_id") / TRAJ_VENUE_STRIDE).cast("long")]
     else:
-        rings_all = _ring_rows(tiles_pdf)
-
         @pandas_udf(T.LongType())
         def pip_assign(x: pd.Series, y: pd.Series) -> pd.Series:
             px = x.to_numpy(np.float64)
             py = y.to_numpy(np.float64)
             out = np.full(len(px), -1, dtype=np.int64)
-            _assign_points(px, py, rings_all, out, np.ones(len(px), dtype=bool))
+            packed.assign(px, py, range(len(packed.tile_ids)), out,
+                          np.ones(len(px), dtype=bool))
             return pd.Series(out)
 
         args_front = []

@@ -21,7 +21,7 @@ from pyspark.sql.functions import pandas_udf
 
 from imc import rasterops
 from imc.config import IMCParams
-from imc.kernels import grid_traverse
+from imc.kernels import grid_traverse_batch
 
 TRAJ_VENUE_STRIDE = 10_000  # traj_id = venue * stride + walk (fixtures/gen_pages.py)
 
@@ -38,10 +38,12 @@ def _raster_cells_udf(cell: float):
         b1 = y1.to_numpy(np.float64)
         a2 = x2.to_numpy(np.float64)
         b2 = y2.to_numpy(np.float64)
-        out = []
-        for i in range(len(a1)):
-            c = grid_traverse(a1[i], b1[i], a2[i], b2[i], cell)
-            out.append([(int(gx), int(gy)) for gx, gy in c])
+        owners, gx, gy = grid_traverse_batch(a1, b1, a2, b2, cell)
+        # split the flat cover back into one list of (gx, gy) per row —
+        # the only per-row Python left is this cheap view slicing
+        bounds = np.searchsorted(owners, np.arange(len(a1) + 1))
+        out = [list(zip(gx[s:e].tolist(), gy[s:e].tolist()))
+               for s, e in zip(bounds[:-1], bounds[1:])]
         return pd.Series(out)
 
     return raster_cells

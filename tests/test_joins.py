@@ -38,6 +38,29 @@ def brute_pairs(pdf: pd.DataFrame, eps: float) -> set:
     return set(zip(a.tolist(), b.tolist()))
 
 
+def test_dist_expressions_match_numpy_kernels(spark):
+    """The Catalyst TRACLUS/Hausdorff expressions reproduce the numpy
+    kernels (≤1 ulp: sqrt(x²+y²) vs np.hypot) on random + adversarial
+    pairs — the ε-join refine runs JVM-side on these expressions."""
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(11)
+    n = 3000
+    arr = rng.uniform(-50, 50, size=(n, 8))
+    arr[:50, 4:] = arr[:50, :4]              # identical segments
+    arr[50:100, 6:] = arr[50:100, 4:6]       # zero-length b (guarded path)
+    arr[100:150, 2:4] = arr[100:150, 0:2] + np.array([1e-9, 0.0])  # tiny a
+    cols = ["ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2"]
+    pdf = pd.DataFrame(arr, columns=cols)
+    df = spark.createDataFrame(pdf)
+    got = joins.with_traclus_dist(df, 1.0, 1.0, 1.0, out="dt") \
+        .withColumn("dh", joins.hausdorff_dist_expr()) \
+        .select("dt", "dh").toPandas()
+    want_t = kernels.traclus_distance(*[arr[:, i] for i in range(8)])[3]
+    want_h = kernels.hausdorff_distance(*[arr[:, i] for i in range(8)])
+    np.testing.assert_allclose(got["dt"], want_t, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got["dh"], want_h, rtol=1e-12, atol=1e-12)
+
+
 def test_eps_join_equals_bruteforce(spark, seg_df):
     got = joins.eps_join(seg_df, PARAMS, salt=False).toPandas()
     want = brute_pairs(seg_df.toPandas(), PARAMS.eps)
@@ -109,9 +132,9 @@ def test_tile_assignment_many_venues_is_venue_keyed(spark):
     plus a structural check that the broadcast dict is venue-keyed."""
     n_venues = 60
     tiles = gen_pages.all_tiles(n_venues)
-    by_venue = joins._build_venue_rings(tiles)
-    assert len(by_venue) == n_venues
-    assert all(len(r) == 16 for r in by_venue.values())  # not 960 globally
+    packed = joins._PackedTiles(tiles, venue_keyed=True)
+    assert len(np.unique(packed.venues)) == n_venues
+    assert all(len(packed.venue_slice(v)) == 16 for v in range(n_venues))
 
     rng = np.random.default_rng(7)
     rows = []
@@ -131,9 +154,10 @@ def test_tile_assignment_many_venues_is_venue_keyed(spark):
         v = int(r["traj_id"]) // 10_000
         px, py = (r["x1"] + r["x2"]) / 2, (r["y1"] + r["y2"]) / 2
         want = -1
-        for tid, ring, _bbox in by_venue[v]:
+        for t in packed.venue_slice(v):
+            ring = packed.coords[packed.offsets[t]:packed.offsets[t + 1]]
             if kernels.point_in_polygon([px], [py], ring)[0]:
-                want = tid
+                want = int(packed.tile_ids[t])
                 break
         assert got_map[int(r["seg_id"])] == want
 

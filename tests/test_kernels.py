@@ -231,3 +231,33 @@ def test_log2s():
     assert kernels.log2s(0.0) == 0.0
     assert kernels.log2s(-1.0) == 0.0
     assert kernels.log2s(8.0) == 3.0
+
+
+def test_grid_traverse_batch_equals_scalar():
+    """Vectorized supercover ≡ per-segment Amanatides-Woo on generic
+    float inputs (exact corner crossings excluded by construction — noise
+    makes them measure-zero; corner tie-breaks are documented to differ)."""
+    rng = np.random.default_rng(17)
+    n = 400
+    x1 = rng.uniform(-30, 30, n)
+    y1 = rng.uniform(-30, 30, n)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    ln = rng.uniform(0, 25, n)
+    x2 = x1 + ln * np.cos(ang)
+    y2 = y1 + ln * np.sin(ang)
+    # axis-aligned + degenerate rows mixed in
+    x2[:40] = x1[:40] + rng.uniform(0.1, 20, 40)   # horizontal-ish
+    y2[:40] = y1[:40]
+    x2[40:60] = x1[40:60]
+    y2[40:60] = y1[40:60] + rng.uniform(0.1, 20, 20)  # vertical
+    x2[60:70] = x1[60:70]
+    y2[60:70] = y1[60:70]                           # zero length
+    for cell in (1.0, 0.5, 4.8):
+        owners, gx, gy = kernels.grid_traverse_batch(x1, y1, x2, y2, cell)
+        for i in range(n):
+            want = {(int(a), int(b))
+                    for a, b in kernels.grid_traverse(x1[i], y1[i], x2[i], y2[i], cell)}
+            sel = owners == i
+            got = set(zip(gx[sel].tolist(), gy[sel].tolist()))
+            assert got == want, (i, cell)
+            assert sel.sum() == len(got)  # no duplicate cells per segment
