@@ -54,14 +54,23 @@ def write_stage(df: DataFrame, path: str, stage: str,
                 input_snapshots: list[str], params_hash: str,
                 partition_by: list[str] | None = None) -> str:
     """Write df as a stage table + manifest; returns the snapshot id."""
-    snap = snapshot_id(stage, input_snapshots, params_hash)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return refresh_manifest(df.sparkSession, path, stage, input_snapshots,
+                            params_hash, partition_by)
+
+
+def refresh_manifest(spark: SparkSession, path: str, stage: str,
+                     input_snapshots: list[str], params_hash: str,
+                     partition_by: list[str] | None = None) -> str:
+    """(Re)commit the manifest for data already at `path` — used both by
+    write_stage and by incremental dynamic-partition-overwrite commits
+    (the iceberg-lite analogue of an Iceberg snapshot commit)."""
+    snap = snapshot_id(stage, input_snapshots, params_hash)
 
     # per-partition lineage + metrics on the data as written
-    spark = df.sparkSession
     written = spark.read.parquet(path)
     part_counts = (written
                    .groupBy(F.spark_partition_id().alias("pid"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,11 +92,163 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
     # tiles := extracted outer polygons (small set → broadcast PIP);
     # tile_id = venue * 1000 + poly_id (deterministic). The `venue` column
     # keys the broadcast dict so each probe tests only its venue's rings.
+    tiles_pdf = _tiles_from_polygons(polys)
+    stage("tile_assignments", joins.tile_assignments(segs, tiles_pdf),
+          [s_seg, s_polys])
+    return results
+
+
+def _tiles_from_polygons(polys: DataFrame):
     tiles_pdf = (polys.filter("is_outer")
                  .select((F.col("venue") * 1000 + F.col("poly_id")).alias("tile_id"),
                          "venue", "ring")
                  .toPandas())
     tiles_pdf["kind"] = "corridor"
-    stage("tile_assignments", joins.tile_assignments(segs, tiles_pdf),
-          [s_seg, s_polys])
+    return tiles_pdf
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
+                    params: IMCParams | None = None) -> dict:
+    """Incremental "new pages since snapshot" mode (SURVEY.md §2.10): fold
+    one NEW batch of pages into an existing pipeline output.
+
+    The iceberg-lite analogue of an Iceberg snapshot-diff run: the heavy
+    per-venue stages (ingest, MDL, ε-join, DBSCAN, raster, polygon
+    extraction, PIP) recompute ONLY the venues present in the new batch.
+    Venue-partitioned stages are rewritten with DYNAMIC partition
+    overwrite — unaffected venue directories are untouched on disk; the
+    derived tables (ε-pairs, assignments, tile_assignments) merge
+    unaffected old rows with recomputed affected-venue rows. Cross-venue
+    ε-pairs cannot exist (venues are ≥ VENUE_PITCH apart ≫ gap_bound), so
+    per-venue recompute is exact. Cluster ids are globally dense-ranked
+    by component-min seg_id, so the merged table is re-ranked (one row
+    per cluster) and rep_points/corridors — tiny, id-addressed — are
+    recomputed; incremental output is bit-equal to a full recompute over
+    (old ∪ new) pages (test-gated equivalence).
+
+    Contract (matches append-only crawls): a url in the new batch is at
+    least as new as any already-ingested version — its points REPLACE the
+    old url's points wholesale.
+
+    Returns {stage: (path, snapshot_id)} like run()."""
+    params = params or IMCParams()
+    ph = params.params_hash()
+    results: dict[str, tuple[str, str]] = {}
+    venue_col = (F.col("traj_id") / VENUE_STRIDE).cast("long").alias("venue")
+
+    prev = {name: manifest.read_manifest(os.path.join(out_dir, name))
+            for name in ("points", "segments", "eps_pairs", "assignments",
+                         "rep_points", "corridors", "raster", "polygons",
+                         "tile_assignments")}
+    delta_fp = _input_fingerprint(new_pages)
+
+    def inputs_of(name: str) -> list[str]:
+        return [prev[name]["snapshot_id"], delta_fp]
+
+    new_pts = (extract.pages_to_points(new_pages).withColumn("venue", venue_col)
+               .localCheckpoint(eager=True))
+    affected = sorted(r["venue"] for r in new_pts.select("venue").distinct().collect())
+    new_urls = new_pts.select("url").distinct()
+    aff = F.col("venue").isin(affected)
+
+    def seg_venue(col: str):
+        return (F.col(col) / (segments.SEG_ID_STRIDE * VENUE_STRIDE)).cast("long")
+
+    def overwrite_partitions(name: str, df: DataFrame) -> DataFrame:
+        """Dynamic-partition-overwrite the affected venue dirs, refresh the
+        manifest (recount), return the full merged table. localCheckpoint
+        breaks the read-path↔write-path cycle (a real Iceberg commit makes
+        this a metadata swap)."""
+        path = os.path.join(out_dir, name)
+        df = df.localCheckpoint(eager=True)
+        with _dynamic_overwrite(spark):
+            df.write.mode("overwrite").partitionBy("venue").parquet(path)
+        snap = manifest.refresh_manifest(spark, path, name, inputs_of(name),
+                                         ph, partition_by=["venue"])
+        results[name] = (path, snap)
+        return manifest.read_stage(spark, path)
+
+    def rewrite(name: str, df: DataFrame) -> DataFrame:
+        path = os.path.join(out_dir, name)
+        df = df.localCheckpoint(eager=True)
+        snap = manifest.write_stage(df, path, name, inputs_of(name), ph)
+        results[name] = (path, snap)
+        return manifest.read_stage(spark, path)
+
+    def align(df: DataFrame, like: DataFrame) -> DataFrame:
+        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                           for f in like.schema.fields])
+
+    old_points = manifest.read_stage(spark, os.path.join(out_dir, "points"))
+    points = overwrite_partitions(
+        "points",
+        old_points.filter(aff).join(new_urls, "url", "left_anti")
+        .unionByName(align(new_pts, old_points)))
+
+    segs = overwrite_partitions(
+        "segments",
+        segments.mdl_segments(points.filter(aff)).withColumn("venue", venue_col))
+    segs_aff = segs.filter(aff).localCheckpoint(eager=True)
+
+    old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
+    new_pairs = joins.eps_join(segs_aff, params)
+    rewrite("eps_pairs",
+            old_pairs.filter(~seg_venue("a_seg").isin(affected))
+            .unionByName(align(new_pairs, old_pairs)))
+
+    # assignments: components are venue-local, but canonical ids are a
+    # GLOBAL dense rank of component-min seg_ids — key each side by its
+    # component min (collision-free), merge, re-rank
+    old_assign = manifest.read_stage(spark, os.path.join(out_dir, "assignments"))
+    new_assign = dbscan.dbscan(segs_aff, new_pairs, params)
+    merged_keyed = (
+        _with_comp_key(old_assign).filter(~seg_venue("seg_id").isin(affected))
+        .unionByName(align(_with_comp_key(new_assign),
+                           _with_comp_key(old_assign))))
+    assign = rewrite("assignments", _rank_comp_keys(merged_keyed))
+
+    rewrite("rep_points", sweep.representative_trajectories(segs, assign, params))
+    rewrite("corridors", corridors.corridor_polygons(segs, assign, params))
+
+    rast = overwrite_partitions("raster", raster.rasterize(segs_aff, params))
+    polys = overwrite_partitions(
+        "polygons", raster.extract_polygons(rast.filter(aff), params))
+
+    old_ta = manifest.read_stage(spark, os.path.join(out_dir, "tile_assignments"))
+    new_ta = joins.tile_assignments(
+        segs_aff, _tiles_from_polygons(polys.filter(aff)))
+    rewrite("tile_assignments",
+            old_ta.filter(~seg_venue("seg_id").isin(affected))
+            .unionByName(align(new_ta, old_ta)))
     return results
+
+
+def _with_comp_key(assign: DataFrame) -> DataFrame:
+    """(seg_id, cluster_id, is_core) → (seg_id, comp_key, is_core) where
+    comp_key = the component's min seg_id (the rank-free canonical id)."""
+    m = assign.groupBy("cluster_id").agg(F.min("seg_id").alias("comp_key"))
+    return (assign.join(F.broadcast(m), "cluster_id")
+            .select("seg_id", "comp_key", "is_core"))
+
+
+def _rank_comp_keys(keyed: DataFrame) -> DataFrame:
+    """comp_key → dense canonical cluster_id (row_number over the distinct
+    key set — one row per cluster, same convention as imc.dbscan)."""
+    from pyspark.sql import Window
+    comps = keyed.select("comp_key").distinct()
+    ranked = comps.withColumn(
+        "cluster_id",
+        F.row_number().over(Window.orderBy("comp_key")).cast("long") - 1)
+    return (keyed.join(F.broadcast(ranked), "comp_key")
+            .select("seg_id", "cluster_id", "is_core"))

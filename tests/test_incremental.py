@@ -1,0 +1,76 @@
+"""Incremental "new pages since snapshot" mode (SURVEY.md §2.10):
+folding a new crawl batch into an existing output must equal a full
+recompute over (old ∪ new) pages, while touching only affected-venue
+partitions on disk."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from fixtures import gen_pages
+from imc import manifest, pipeline
+from imc.config import IMCParams
+
+PARAMS = IMCParams(eps=1.2, min_lns=3)
+
+
+def _read_sorted(spark, path, keys):
+    df = spark.read.parquet(path).toPandas()
+    return df[sorted(df.columns)].sort_values(keys).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_equals_full(spark, tmp_path):
+    from pyspark.sql import functions as F
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.01))  # 10 venues
+    slot = F.regexp_extract("url", r"walk(\d+)$", 1).cast("int")
+    venue = F.regexp_extract("url", r"venue(\d+)/", 1).cast("int")
+
+    # new batch: venue 0's slots ≥ 400, NEWEST version per url (a crawler
+    # delta); everything else — including those urls' older duplicates —
+    # is the previously ingested corpus, so url replacement is exercised
+    from imc.extract import dedupe_pages
+    new_batch = dedupe_pages(pages).filter((venue == 0) & (slot >= 400))
+    old_batch = pages.join(new_batch.select("url", "warc_ts"),
+                           ["url", "warc_ts"], "left_anti")
+    assert new_batch.count() > 0
+    assert old_batch.count() + new_batch.count() == pages.count()
+
+    inc_out = str(tmp_path / "inc")
+    full_out = str(tmp_path / "full")
+    pipeline.run(spark, old_batch, inc_out, PARAMS)
+
+    # unaffected venue partitions must not be rewritten by the incremental
+    probe = os.path.join(inc_out, "segments", "venue=5")
+    mtime_before = max(os.path.getmtime(os.path.join(probe, f))
+                       for f in os.listdir(probe))
+
+    inc_results = pipeline.run_incremental(spark, new_batch, inc_out, PARAMS)
+    full_results = pipeline.run(spark, pages, full_out, PARAMS)
+    assert set(inc_results) == set(full_results)
+
+    mtime_after = max(os.path.getmtime(os.path.join(probe, f))
+                      for f in os.listdir(probe))
+    assert mtime_after == mtime_before
+
+    # stage-by-stage equivalence with the full recompute
+    checks = {
+        "points": ["traj_id", "seq"],
+        "segments": ["seg_id"],
+        "eps_pairs": ["a_seg", "b_seg"],
+        "assignments": ["seg_id"],
+        "rep_points": ["cluster_id", "pt_seq"],
+        "tile_assignments": ["seg_id"],
+        "raster": ["venue", "gx", "gy"],
+    }
+    for name, keys in checks.items():
+        got = _read_sorted(spark, inc_results[name][0], keys)
+        want = _read_sorted(spark, full_results[name][0], keys)
+        assert len(got) == len(want), name
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      obj=name)
+
+    # manifests record the delta lineage (parent snapshot + delta fp)
+    m = manifest.read_manifest(inc_results["eps_pairs"][0])
+    assert len(m["inputs"]) == 2 and m["committed"]
