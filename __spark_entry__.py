@@ -264,9 +264,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("o_totalprice"), 2).alias("revenue"))
                 .filter(F.col("n_orders") >= 3))
 
+    def rel_shipping_priority(spark, sf_dir):
+        # TPC-H Q3 shape: 3-way join, filter both sides, agg, top-k
+        c = _tbl(spark, sf_dir, "customer")
+        o = _tbl(spark, sf_dir, "orders")
+        li = _tbl(spark, sf_dir, "lineitem")
+        from pyspark.sql import Window
+        rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        agg = (c.filter(F.col("c_mktsegment") == "BUILDING")
+               .join(o, c.c_custkey == o.o_custkey)
+               .join(li, o.o_orderkey == li.l_orderkey)
+               .filter((F.col("o_orderdate") < F.lit("1995-03-15"))
+                       & (F.col("l_shipdate") > F.lit("1995-03-15")))
+               .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+               .agg(rev.alias("revenue")))
+        w = Window.orderBy(F.desc("revenue"), "o_orderkey")
+        return (agg.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 10)
+                .select("o_orderkey",
+                        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                        "o_orderpriority", "revenue", F.col("rk").cast("long").alias("rk")))
+
+    def rel_sessions(spark, sf_dir):
+        # gap-based sessionization: a >30min silence starts a new session;
+        # per session: event count + duration (batch equivalent of the
+        # streaming session-window operator)
+        from pyspark.sql import Window
+        ev = _tbl(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        sessions = (ev
+                    .withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1)
+                                .otherwise(0))
+                    .withColumn("session_no",
+                                F.sum("_new").over(
+                                    w.rowsBetween(Window.unboundedPreceding, 0))))
+        return (sessions.groupBy("user_id", "session_no")
+                .agg(F.count("*").alias("n_events"),
+                     (F.unix_timestamp(F.max("ts"))
+                      - F.unix_timestamp(F.min("ts"))).alias("dur_sec"))
+                .select("user_id", F.col("session_no").cast("long").alias("session_no"),
+                        "n_events", "dur_sec"))
+
+    def rel_region_revenue(spark, sf_dir):
+        # 5-way snowflake join rollup: revenue by region (broadcast dims)
+        r = _tbl(spark, sf_dir, "region")
+        n = _tbl(spark, sf_dir, "nation")
+        c = _tbl(spark, sf_dir, "customer")
+        o = _tbl(spark, sf_dir, "orders")
+        return (o.join(c, o.o_custkey == c.c_custkey)
+                .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name")
+                .agg(F.count("*").alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
     q.update(rel_event_pairs=rel_event_pairs,
              rel_pricing_summary=rel_pricing_summary,
-             rel_top_customers=rel_top_customers)
+             rel_top_customers=rel_top_customers,
+             rel_shipping_priority=rel_shipping_priority,
+             rel_sessions=rel_sessions,
+             rel_region_revenue=rel_region_revenue)
     return q
 
 
@@ -706,5 +764,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey HAVING count(*) >= 3
+        """,
+        "rel_shipping_priority": """
+            WITH agg AS (
+              SELECT o_orderkey, o_orderdate, o_orderpriority,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+                            JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15'
+                AND l_shipdate > TIMESTAMP '1995-03-15'
+              GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority, revenue,
+                   row_number() OVER (ORDER BY revenue DESC, o_orderkey)
+                     ::BIGINT AS rk
+            FROM agg QUALIFY rk <= 10
+        """,
+        "rel_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     floor(epoch(ts))::BIGINT
+                     - floor(epoch(lag(ts) OVER w))::BIGINT AS gap
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM g)
+            SELECT user_id, session_no::BIGINT AS session_no,
+                   count(*) AS n_events,
+                   (floor(epoch(max(ts)))::BIGINT
+                    - floor(epoch(min(ts)))::BIGINT) AS dur_sec
+            FROM s GROUP BY user_id, session_no
+        """,
+        "rel_region_revenue": """
+            SELECT r_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
     }
