@@ -215,6 +215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_topk_lsh(_tbl(spark, sf_dir, "embeddings"),
                                        k=5, probe_mod=50, bits=8)
 
+    def dedup_embcos_pairs(spark, sf_dir):
+        # τ=0.45 / 6-bit buckets tuned to the synthetic table's similarity
+        # range (max pairwise cos ≈ 0.51 — no planted near-dups); a real
+        # corpus uses τ≈0.9 with 16-24 bucket bits
+        return similarity.embedding_dup_pairs(_tbl(spark, sf_dir, "embeddings"),
+                                              threshold=0.45, bits=6, tables=4)
+
     def ann_topk_lsh_multi(spark, sf_dir):
         # bits sizes bucket occupancy (≈ n/2^bits per table): 12 bits at
         # the 500-row correctness scale; a 10^9-row corpus wants 20-24
@@ -231,7 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_langid=text_langid, text_fingerprint=text_fingerprint,
              media_metadata=media_metadata,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
-             ann_topk_lsh_multi=ann_topk_lsh_multi)
+             ann_topk_lsh_multi=ann_topk_lsh_multi,
+             dedup_embcos_pairs=dedup_embcos_pairs)
 
     # ---- relational primitives (DuckDB-oracled) ----
     def rel_event_pairs(spark, sf_dir):
@@ -712,6 +720,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, score, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "dedup_embcos_pairs": f"""
+            WITH mb AS ({_lsh_multi_bucket_sql(6, 4)}),
+            wb AS (SELECT e.vec_id, e.embedding, m.tbl, m.bucket
+                   FROM embeddings e JOIN mb m USING (vec_id)),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM wb a JOIN wb b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id)
+            SELECT c.a_id, c.b_id,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 6) AS cos
+            FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+                        JOIN embeddings eb ON eb.vec_id = c.b_id
+            WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                               eb.embedding::DOUBLE[]), 6) >= 0.45
         """,
         "ann_topk_lsh_multi": f"""
             WITH mb AS ({_lsh_multi_bucket_sql(12, 4)}),

@@ -179,6 +179,42 @@ def ann_topk_lsh_multi(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
             .select("query_id", "neighbor_id", "score", "rank"))
 
 
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                        bits: int = 12, tables: int = 4) -> DataFrame:
+    """(a_id, b_id, cos) — embedding-cosine near-duplicate detection, the
+    vector member of the dedup ladder (exact → minhash/LSH → simhash →
+    embedding cosine). Candidates from the multi-table sign-LSH buckets
+    (equi-joins, never all-pairs), refined with exact cosine ≥ threshold.
+    Recall is governed by (bits, tables) exactly like ann_topk_lsh_multi;
+    the DuckDB oracle mirrors prefilter + refine, so the approximation is
+    itself verified."""
+    mb = multi_bucket(embeddings, bits, tables)
+    with_b = (embeddings.join(mb, "vec_id")
+              .select("vec_id", "embedding", "tbl", "bucket"))
+    a = with_b.select(F.col("vec_id").alias("a_id"),
+                      F.col("embedding").alias("a_emb"), "tbl", "bucket")
+    b = with_b.select(F.col("vec_id").alias("b_id"),
+                      F.col("embedding").alias("b_emb"), "tbl", "bucket")
+    cand = (a.join(b, ["tbl", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_emb", "b_emb")
+            .dropDuplicates(["a_id", "b_id"]))
+
+    def cos(x, y):
+        dot = F.aggregate(F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        nx = F.sqrt(F.aggregate(F.transform(x, lambda p: p.cast("double") * p.cast("double")),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        ny = F.sqrt(F.aggregate(F.transform(y, lambda p: p.cast("double") * p.cast("double")),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        return dot / F.greatest(nx * ny, F.lit(1e-300))
+
+    return (cand
+            .withColumn("cos", F.round(cos(F.col("a_emb"), F.col("b_emb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", "cos"))
+
+
 def ann_topk_lsh(embeddings: DataFrame, k: int = 5,
                  probe_mod: int = 50, bits: int = 8) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's sign bucket
