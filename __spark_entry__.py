@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fixtures import gen_pages  # noqa: E402
 from imc import (corridors, dbscan, extract, joins, multimodal,  # noqa: E402
-                 params_search, raster, segments, similarity, sweep, textops)
+                 params_search, quality, raster, segments, similarity,
+                 sweep, textops)
 from imc.config import IMCParams  # noqa: E402
 
 PARAMS = IMCParams(eps=1.2, min_lns=3)
@@ -56,6 +57,20 @@ def _fixture_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts = extract.pages_to_points(spark.read.parquet(pages_path))
         segments.mdl_segments(pts).write.mode("overwrite").parquet(seg_path)
     return spark.read.parquet(seg_path)
+
+
+def _fixture_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN assignments for the fixture corpus, cached as parquet next to
+    the segments fixture (deterministic; shared by several queries() and
+    by the qmeasure oracle)."""
+    pages_path = gen_pages.ensure_pages(sf=_sf_of(sf_dir))
+    a_path = os.path.join(os.path.dirname(pages_path), "assignments.parquet")
+    if not os.path.exists(a_path):
+        segs = _fixture_segments(spark, sf_dir)
+        segs.cache()
+        (dbscan.dbscan(segs, joins.eps_join(segs, PARAMS), PARAMS)
+         .write.mode("overwrite").parquet(a_path))
+    return spark.read.parquet(a_path)
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -118,15 +133,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("a_seg", "b_seg", F.round("dist", 6).alias("dist"), "rank"))
 
     def imc_assignments(spark, sf_dir):
-        segs = _fixture_segments(spark, sf_dir)
-        segs.cache()
-        return dbscan.dbscan(segs, joins.eps_join(segs, PARAMS), PARAMS)
+        return _fixture_assignments(spark, sf_dir)
 
     def imc_rep_points(spark, sf_dir):
-        segs = _fixture_segments(spark, sf_dir)
-        segs.cache()
-        assign = dbscan.dbscan(segs, joins.eps_join(segs, PARAMS), PARAMS)
-        return sweep.representative_trajectories(segs, assign, PARAMS)
+        return sweep.representative_trajectories(
+            _fixture_segments(spark, sf_dir),
+            _fixture_assignments(spark, sf_dir), PARAMS)
+
+    def imc_qmeasure(spark, sf_dir):
+        # TRACLUS clustering-quality metric ([T] §6.2): per-cluster SSE
+        return quality.cluster_sse(_fixture_segments(spark, sf_dir),
+                                   _fixture_assignments(spark, sf_dir), PARAMS)
 
     def imc_tile_assignments(spark, sf_dir):
         segs = _fixture_segments(spark, sf_dir)
@@ -138,8 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: geometry of the miter buffer isn't ANSI-SQL; shape
         # invariants are pytest-gated (tests/test_corridors.py)
         segs = _fixture_segments(spark, sf_dir)
-        segs.cache()
-        assign = dbscan.dbscan(segs, joins.eps_join(segs, PARAMS), PARAMS)
+        assign = _fixture_assignments(spark, sf_dir)
         return (corridors.corridor_polygons(segs, assign, PARAMS)
                 .select("cluster_id",
                         F.round("width", 6).alias("width"),
@@ -171,7 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              imc_tile_assignments=imc_tile_assignments,
              imc_raster=imc_raster, imc_polygons=imc_polygons,
              imc_corridors=imc_corridors,
-             imc_param_entropy=imc_param_entropy)
+             imc_param_entropy=imc_param_entropy,
+             imc_qmeasure=imc_qmeasure)
 
     # ---- web-corpus training-data ops (DuckDB-oracled) ----
     def dedup_exact(spark, sf_dir):
@@ -351,6 +368,12 @@ def _fixture_paths() -> tuple[str, str]:
     # segments.parquet is a Spark-written DIRECTORY → glob for DuckDB
     return pages, os.path.join(os.path.dirname(pages),
                                "segments.parquet", "*.parquet")
+
+
+def _assignments_glob() -> str:
+    pages = gen_pages.ensure_pages(sf=_ORACLE_SF)
+    return os.path.join(os.path.dirname(pages),
+                        "assignments.parquet", "*.parquet")
 
 
 _EXTRACT_SQL = ("replace(replace(replace("
@@ -570,6 +593,31 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY dist, b_seg)::BIGINT AS rank
             FROM d
             QUALIFY rank <= 3
+        """,
+        "imc_qmeasure": f"""
+            WITH segs AS (SELECT seg_id, x1, y1, x2, y2
+                          FROM read_parquet('{segs_path}')),
+            asn AS (SELECT seg_id, cluster_id
+                    FROM read_parquet('{_assignments_glob()}')),
+            j AS (SELECT a.cluster_id, s.* FROM asn a JOIN segs s USING (seg_id)),
+            cand AS (
+              SELECT x.seg_id AS a_seg, y.seg_id AS b_seg,
+                     x.x1 AS ax1, x.y1 AS ay1, x.x2 AS ax2, x.y2 AS ay2,
+                     y.x1 AS bx1, y.y1 AS by1, y.x2 AS bx2, y.y2 AS by2
+              FROM j x JOIN j y
+                ON x.cluster_id = y.cluster_id AND x.seg_id < y.seg_id),
+            {_traclus_chain()},
+            per AS (
+              SELECT a.cluster_id,
+                     sum(round((d_perp + d_par + d_ang)
+                               * (d_perp + d_par + d_ang), 6)) AS s
+              FROM m6 JOIN asn a ON m6.a_seg = a.seg_id
+              GROUP BY a.cluster_id),
+            sizes AS (SELECT cluster_id, count(*) AS n_segs
+                      FROM asn GROUP BY cluster_id)
+            SELECT sizes.cluster_id, n_segs,
+                   round(coalesce(per.s, 0.0) / n_segs, 3) AS sse
+            FROM sizes LEFT JOIN per USING (cluster_id)
         """,
         "imc_tile_assignments": f"""
             WITH segs AS (SELECT seg_id, traj_id, (x1+x2)/2.0 AS px,

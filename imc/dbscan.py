@@ -106,6 +106,14 @@ def dbscan(segments: DataFrame, eps_pairs: DataFrame,
            params: IMCParams | None = None) -> DataFrame:
     """assignments(seg_id, cluster_id, is_core) — SURVEY.md §2.8."""
     params = params or IMCParams()
+    # cut lineage ONCE: eps_pairs is consumed by several branches below
+    # (degrees, core edges, border attach); an unmaterialized ε-join plan
+    # embedded that many times blows up driver-side optimization (the
+    # staged refine projections re-optimize per reference — observed OOM
+    # at default 1g driver heap). localCheckpoint is a no-op-ish scan for
+    # already-materialized inputs (the pipeline passes parquet-backed
+    # pairs) and caps plan size for direct callers.
+    eps_pairs = eps_pairs.localCheckpoint(eager=True)
     cores = core_segments(segments, eps_pairs, params).filter("is_core")
     core_ids = cores.select("seg_id").localCheckpoint(eager=True)
 

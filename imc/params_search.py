@@ -25,7 +25,8 @@ def neighborhood_entropy(segments: DataFrame, eps: float,
                          params: IMCParams | None = None) -> tuple[float, float]:
     """Returns (H(ε), avg |Nε|) for one candidate ε."""
     params = dataclasses.replace(params or IMCParams(), eps=eps, cell_size=0.0)
-    pairs = joins.eps_join(segments, params)
+    # lineage cut: the pair plan is consumed via symmetrize twice below
+    pairs = joins.eps_join(segments, params).localCheckpoint(eager=True)
     # |Nε| per segment including itself; segments with no neighbor count 1
     deg = (segments.select("seg_id")
            .join(symmetrize(pairs).groupBy("src").agg(F.count("*").alias("n")),

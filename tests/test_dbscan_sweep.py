@@ -91,3 +91,24 @@ def test_rep_polylines_near_corridor_centerlines(spark, fixture_data):
             edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]).min()
         ok += d <= tol
     assert ok / max(len(rep), 1) > 0.9
+
+
+def test_cluster_sse_hand_computed(spark):
+    """QMeasure terms ([T] §6.2): two parallel unit segments at distance 1
+    in one cluster → SSE = dist²/|C| = 1/2; singleton cluster → SSE 0."""
+    import pandas as pd
+    from imc import quality
+    segs = spark.createDataFrame(pd.DataFrame({
+        "seg_id": [1, 2, 3],
+        "x1": [0.0, 0.0, 100.0], "y1": [0.0, 1.0, 0.0],
+        "x2": [1.0, 1.0, 101.0], "y2": [0.0, 1.0, 0.0],
+    }))
+    assign = spark.createDataFrame(pd.DataFrame({
+        "seg_id": [1, 2, 3], "cluster_id": [0, 0, 1],
+        "is_core": [True, True, True],
+    }))
+    got = quality.cluster_sse(segs, assign).toPandas().set_index("cluster_id")
+    assert got.loc[0, "n_segs"] == 2 and got.loc[0, "sse"] == 0.5
+    assert got.loc[1, "n_segs"] == 1 and got.loc[1, "sse"] == 0.0
+    q = quality.qmeasure(segs, assign)
+    assert q == 0.5
