@@ -144,9 +144,17 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def lsh_dup_pairs(documents: DataFrame, k: int = MINHASH_K,
-                  bands: int = LSH_BANDS) -> DataFrame:
+                  bands: int = LSH_BANDS, salt: bool = False,
+                  salt_buckets: int = 8, hot_factor: float = 20.0) -> DataFrame:
     """(a_id, b_id) candidate near-duplicate pairs: docs sharing any LSH
-    band bucket (band hash = md5 of its rows concatenated)."""
+    band bucket (band hash = md5 of its rows concatenated).
+
+    salt=True applies the ε-join's hot-key treatment to HOT BUCKETS
+    (boilerplate text puts thousands of near-identical docs in one bucket,
+    overloading a single reducer): a sampled count pre-pass finds buckets
+    > hot_factor × mean, the left side gets salt = pmod(hash(doc_id), S),
+    the right side is replicated S× — output pairs identical (test-gated),
+    reducer load split S ways. Off by default (one extra job)."""
     sigs = minhash_signatures(documents, k)
     rows_per_band = k // bands
     band_frames = []
@@ -159,9 +167,33 @@ def lsh_dup_pairs(documents: DataFrame, k: int = MINHASH_K,
     buckets = band_frames[0]
     for bf in band_frames[1:]:
         buckets = buckets.unionByName(bf)
-    a = buckets.select(F.col("doc_id").alias("a_id"), "band", "bucket")
-    b = buckets.select(F.col("doc_id").alias("b_id"), "band", "bucket")
-    return (a.join(b, ["band", "bucket"])
+
+    if salt:
+        s = salt_buckets
+        counts = (buckets.sample(fraction=0.1, seed=42)
+                  .groupBy("band", "bucket").agg(F.count("*").alias("n")))
+        mean = counts.agg(F.avg("n")).collect()[0][0] or 0.0
+        hot = (counts.filter(F.col("n") > hot_factor * mean)
+               .select("band", "bucket").withColumn("_hot", F.lit(True)))
+        left = (buckets.join(F.broadcast(hot), ["band", "bucket"], "left")
+                .withColumn("salt",
+                            F.when(F.col("_hot"), F.pmod(F.hash("doc_id"), F.lit(s)))
+                            .otherwise(F.lit(0)))
+                .drop("_hot"))
+        right = (buckets.join(F.broadcast(hot), ["band", "bucket"], "left")
+                 .withColumn("salt",
+                             F.explode(F.when(F.col("_hot"),
+                                              F.sequence(F.lit(0), F.lit(s - 1)))
+                                       .otherwise(F.array(F.lit(0)))))
+                 .drop("_hot"))
+        keys = ["band", "bucket", "salt"]
+    else:
+        left = right = buckets
+        keys = ["band", "bucket"]
+
+    a = left.select(F.col("doc_id").alias("a_id"), *keys)
+    b = right.select(F.col("doc_id").alias("b_id"), *keys)
+    return (a.join(b, keys)
             .filter(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id")
             .distinct())

@@ -4,7 +4,10 @@
 Usage:
   spark-submit --py-files imc.zip jobs/run_pipeline.py \
       --input /path/to/pages_parquet --output /path/to/out \
-      [--eps 1.2] [--min-lns 3] [--gamma 1.0] [--no-resume] [--raw-segments]
+      [--eps 1.2] [--min-lns 3] [--gamma 1.0] [--no-resume] [--raw-segments] \
+      [--incremental]   # fold --input as a NEW batch into an existing
+                        # --output (snapshot-diff mode: only venues in the
+                        # batch recompute; see imc.pipeline.run_incremental)
 
 The package zip is built by jobs/make_pyfiles.sh; no cluster-side installs.
 Resume: stages whose iceberg-lite manifest matches the content-addressed
@@ -29,12 +32,15 @@ def main(argv=None):
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--raw-segments", action="store_true",
                     help="skip MDL partitioning (debug)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="treat --input as a new batch folded into an "
+                         "existing --output (venue-level snapshot diff)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from imc.config import IMCParams
-    from imc.pipeline import run
+    from imc.pipeline import run, run_incremental
 
     spark = (SparkSession.builder.appName("imc-pipeline")
              .config("spark.sql.adaptive.enabled", "true")
@@ -44,8 +50,11 @@ def main(argv=None):
     params = IMCParams(eps=args.eps, min_lns=args.min_lns, gamma=args.gamma,
                        salt_buckets=args.salt_buckets)
     pages = spark.read.parquet(args.input)
-    results = run(spark, pages, args.output, params,
-                  resume=not args.no_resume, use_mdl=not args.raw_segments)
+    if args.incremental:
+        results = run_incremental(spark, pages, args.output, params)
+    else:
+        results = run(spark, pages, args.output, params,
+                      resume=not args.no_resume, use_mdl=not args.raw_segments)
     print(json.dumps({name: {"path": p, "snapshot": s}
                       for name, (p, s) in results.items()}, indent=1))
     spark.stop()

@@ -51,6 +51,25 @@ def test_lsh_finds_near_duplicate(spark, docs):
     assert (200, 201) in got   # near dup shares ≥1 band
 
 
+def test_lsh_salted_equals_unsalted_on_hot_bucket(spark, docs):
+    """Boilerplate skew: 60 identical docs land in ONE bucket per band;
+    the salted join must produce the exact same pair set."""
+    import pandas as pdd
+    boiler = pdd.DataFrame({
+        "doc_id": range(1000, 1060),
+        "text": "subscribe to our newsletter for daily updates and offers " * 5,
+        "lang": "en", "source": "boiler", "n_chars": 0,
+    })
+    hotdocs = docs.unionByName(spark.createDataFrame(boiler))
+    plain = textops.lsh_dup_pairs(hotdocs, salt=False).toPandas()
+    salted = textops.lsh_dup_pairs(hotdocs, salt=True, hot_factor=3.0).toPandas()
+    p = set(zip(plain["a_id"], plain["b_id"]))
+    q = set(zip(salted["a_id"], salted["b_id"]))
+    assert p == q
+    # the boilerplate clique is present (60 choose 2 pairs among 1000s)
+    assert sum(1 for a, b in p if a >= 1000 and b >= 1000) == 60 * 59 // 2
+
+
 def test_jaccard_verifies_near_duplicate(spark, docs):
     out = textops.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
     got = {(a, b): j for a, b, j in zip(out["a_id"], out["b_id"], out["jaccard"])}
