@@ -16,9 +16,11 @@ Layout (SURVEY.md §7.8):
   dbscan.py    segment DBSCAN via agg + contracting label propagation
   sweep.py     representative-trajectory sweep per cluster
   corridors.py corridor polygons: miter-offset buffer of rep polylines
+  quality.py   TRACLUS QMeasure clustering-quality metric ([T] §6.2)
   raster.py    rasterize segments / raster→vector polygon extraction
-  manifest.py  iceberg-lite snapshot/resume manifests over parquet
-  pipeline.py  end-to-end run (EP1 in SURVEY.md §3.2)
+  manifest.py  iceberg-lite snapshot/resume manifests over parquet,
+               bucketed co-located tables
+  pipeline.py  end-to-end run (EP1) + incremental snapshot-diff mode
   textops.py   web-corpus ops: dedup (exact/minhash/simhash), langid,
                quality, token counts, fingerprints
   similarity.py embedding ANN (brute-force cosine top-k + LSH buckets)
