@@ -47,12 +47,23 @@ def _fixture_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(gen_pages.ensure_pages(sf=_sf_of(sf_dir)))
 
 
+def _seg_cache_name() -> str:
+    # cache keyed by the params hash: a changed PARAMS (or any config field)
+    # must regenerate the derived fixtures instead of silently serving
+    # results computed under the old configuration
+    return f"segments_{PARAMS.params_hash()}.parquet"
+
+
+def _assign_cache_name() -> str:
+    return f"assignments_{PARAMS.params_hash()}.parquet"
+
+
 def _fixture_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MDL segments for the fixture corpus, cached as parquet next to the
     pages fixture (deterministic content; several queries() entries share
     this prefix, and the driver runs them in separate actions)."""
     pages_path = gen_pages.ensure_pages(sf=_sf_of(sf_dir))
-    seg_path = os.path.join(os.path.dirname(pages_path), "segments.parquet")
+    seg_path = os.path.join(os.path.dirname(pages_path), _seg_cache_name())
     if not os.path.exists(seg_path):
         pts = extract.pages_to_points(spark.read.parquet(pages_path))
         segments.mdl_segments(pts).write.mode("overwrite").parquet(seg_path)
@@ -64,7 +75,7 @@ def _fixture_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the segments fixture (deterministic; shared by several queries() and
     by the qmeasure oracle)."""
     pages_path = gen_pages.ensure_pages(sf=_sf_of(sf_dir))
-    a_path = os.path.join(os.path.dirname(pages_path), "assignments.parquet")
+    a_path = os.path.join(os.path.dirname(pages_path), _assign_cache_name())
     if not os.path.exists(a_path):
         segs = _fixture_segments(spark, sf_dir)
         segs.cache()
@@ -365,15 +376,15 @@ def _fixture_paths() -> tuple[str, str]:
     generated on demand; segments.parquet is written by the imc_* Spark
     queries (the driver runs each Spark query before its oracle)."""
     pages = gen_pages.ensure_pages(sf=_ORACLE_SF)
-    # segments.parquet is a Spark-written DIRECTORY → glob for DuckDB
+    # the segments cache is a Spark-written DIRECTORY → glob for DuckDB
     return pages, os.path.join(os.path.dirname(pages),
-                               "segments.parquet", "*.parquet")
+                               _seg_cache_name(), "*.parquet")
 
 
 def _assignments_glob() -> str:
     pages = gen_pages.ensure_pages(sf=_ORACLE_SF)
     return os.path.join(os.path.dirname(pages),
-                        "assignments.parquet", "*.parquet")
+                        _assign_cache_name(), "*.parquet")
 
 
 _EXTRACT_SQL = ("replace(replace(replace("
@@ -631,7 +642,8 @@ def oracle_sql() -> dict[str, str]:
                                AND s.px < e.ex1 + (s.py - e.ey1)
                                    / (e.ey2 - e.ey1) * (e.ex2 - e.ex1)
                           THEN 1 ELSE 0 END) AS c
-              FROM segs s JOIN edges e ON e.venue = s.traj_id // 10000
+              FROM segs s JOIN edges e
+                ON e.venue = s.traj_id // {joins.TRAJ_VENUE_STRIDE}
               GROUP BY s.seg_id, e.tile_id),
             inside AS (SELECT seg_id, min(tile_id) AS tile_id
                        FROM crossings WHERE c % 2 = 1 GROUP BY seg_id)

@@ -11,6 +11,12 @@ import hashlib
 import json
 
 
+# fixture id encoding: traj_id = venue * VENUE_STRIDE + walk — the single
+# source for every venue derivation (joins PIP keying, raster grouping,
+# pipeline partitioning, oracle SQL)
+VENUE_STRIDE = 10_000
+
+
 @dataclasses.dataclass(frozen=True)
 class IMCParams:
     eps: float = 1.2          # ε neighborhood radius (m), [T] §4.2

@@ -47,10 +47,11 @@ def extract_text_col(html: Column) -> Column:
     return F.replace(s, F.lit("&amp;"), F.lit("&"))
 
 
-def parse_points_cols(text: Column):
+def parse_points_cols(text: Column) -> Column:
     """Catalyst point parser: multiline regexp_extract_all over the TRAJ
-    grammar → one array element per point line. Returns (lines_array,
-    field_extractor) — explode the array, then project the fields."""
+    grammar. Returns the ARRAY<STRING> of matched point lines — explode
+    it, then project the typed fields with _point_fields (see
+    pages_to_points for the composed shape)."""
     return F.regexp_extract_all(text, F.lit("(?m)" + _TRAJ_PATTERN), 0)
 
 

@@ -18,10 +18,11 @@ as ONE distributed join, not n point queries:
   skew: hot cells (corridor junctions) are salted — left side gets
     salt = pmod(hash(seg_id), S), right side replicates S× — on top of
     AQE's skew-join splitting (BASELINE.json:6 mandates explicit salting).
-  phase 2 (refine): codegen'd bbox-gap prefilter, then exact TRACLUS +
-    Hausdorff distance in a vectorized pandas UDF over pair batches;
-    filter dist ≤ ε; canonical (a < b) — same map stage as the join, so
-    the whole ε-join is exactly one shuffle of the (small) cover sets.
+  phase 2 (refine): codegen'd bbox-gap prefilter, then the exact TRACLUS /
+    Hausdorff distance as staged Catalyst expressions (with_traclus_dist —
+    zero Python, zero Arrow); filter dist ≤ ε; canonical (a < b) — same
+    map stage as the join, so the whole ε-join is exactly one shuffle of
+    the (small) cover sets with every stage inside whole-stage codegen.
 
 Scale note: a bbox cover is quadratic in cell span for long DIAGONAL
 segments where a grid-traversal cover is linear — MDL partitioning keeps
@@ -49,7 +50,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from imc import kernels
-from imc.config import IMCParams
+from imc.config import VENUE_STRIDE, IMCParams
 
 _COORDS = ["x1", "y1", "x2", "y2"]
 
@@ -91,28 +92,6 @@ def _bbox_cover(segs: DataFrame, g: float, r: float, prefix: str = "") -> DataFr
             .drop("_ix", "_iy"))
 
 
-_PAIR_DIST_SCHEMA = T.StructType([
-    T.StructField("d_traclus", T.DoubleType()),
-    T.StructField("d_hausdorff", T.DoubleType()),
-])
-
-
-def _pair_dist_udf(w_perp: float, w_par: float, w_ang: float):
-    @pandas_udf(_PAIR_DIST_SCHEMA)
-    def pair_dist(ax1: pd.Series, ay1: pd.Series, ax2: pd.Series, ay2: pd.Series,
-                  bx1: pd.Series, by1: pd.Series, bx2: pd.Series, by2: pd.Series
-                  ) -> pd.DataFrame:
-        args = [s.to_numpy(np.float64) for s in (ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)]
-        _, _, _, dist = kernels.traclus_distance(*args, w_perp=w_perp, w_par=w_par, w_ang=w_ang)
-        haus = kernels.hausdorff_distance(*args)
-        return pd.DataFrame({"d_traclus": dist, "d_hausdorff": haus})
-
-    # the kernel IS deterministic; the flag only stops Catalyst from
-    # DUPLICATING the call when a filter sits between two uses of the result
-    # (the plan otherwise evaluates the refine UDF twice per candidate pair)
-    return pair_dist.asNondeterministic()
-
-
 def _hyp(dx: Column, dy: Column) -> Column:
     return F.sqrt(dx * dx + dy * dy)
 
@@ -122,9 +101,9 @@ def with_traclus_dist(df: DataFrame, w_perp: float = 1.0, w_par: float = 1.0,
     """Append the TRACLUS segment distance over candidate-pair columns
     (ax1..ay2, bx1..by2) as PURE CATALYST expressions — same float64
     formula sequence as kernels.traclus_distance (sqrt(x²+y²) replaces
-    np.hypot; ≤1 ulp apart, golden-gated at 1e-9). The whole ε-join refine
-    then runs JVM-side inside whole-stage codegen with zero Arrow transfer;
-    the pandas-UDF kernel remains as the equivalence-test twin.
+    np.hypot; ≤1 ulp apart, golden-gated at 1e-9, and equivalence-tested
+    against the numpy kernel at rtol 1e-12). The whole ε-join refine then
+    runs JVM-side inside whole-stage codegen with zero Arrow transfer.
 
     Built as STAGED projections (one withColumns per dependency level):
     CollapseProject keeps multiply-referenced non-cheap intermediates as
@@ -320,7 +299,7 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
 def knn_join(probes: DataFrame, base: DataFrame, k: int,
              params: IMCParams | None = None, metric: str = "traclus",
              max_rounds: int = 6) -> DataFrame:
-    """k nearest base segments per probe segment (SURVEY.md §2.4). Exact.
+    """k nearest base segments per probe segment (SURVEY.md §2.4).
 
     Bounded expanding-radius search, no full-base broadcast anywhere:
     round i joins the probes' bbox covers expanded by R_i (R_0 = gap_bound,
@@ -330,9 +309,15 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
     gbf · d_k ≤ R (gbf = gap_bound/ε): any segment outside the covered
     radius has bbox gap > R, hence dist ≥ gap/gbf > d_k — so the top-k is
     final. Unsettled probes (including zero-candidate ones, which a plain
-    candidate-count would miss) re-join at 4R; after max_rounds whatever
-    top-k they have is emitted (only reachable on pathological inputs where
-    the k-th neighbor is ~4^max_rounds gap_bounds away).
+    candidate-count would miss) re-join at 4R.
+
+    EXACTNESS BOUND: results are provably exact for every probe whose k-th
+    neighbor lies within R_max = 4^(max_rounds−1) · gap_bound (≈ 2.5 km at
+    defaults — far beyond any venue). Probes still unsettled at R_max emit
+    whatever top-k they have (possibly fewer than k rows, or none when no
+    candidate is reachable at all, e.g. k larger than the probe's entire
+    connected neighborhood); a probe's cover grows O((R/g)²) cells, so
+    R_max also caps the cost of such pathological probes.
 
     Ranking ties break on (round(dist, 6), b_seg) so results are stable
     across engines computing dist with different-but-close float paths
@@ -360,15 +345,7 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
     out: DataFrame | None = None
     R = params.gap_bound
     for rnd in range(max_rounds):
-        p_cov = (remaining
-                 .withColumn("_ix", F.explode(F.sequence(
-                     F.floor((F.least("ax1", "ax2") - R) / g),
-                     F.floor((F.greatest("ax1", "ax2") + R) / g))))
-                 .withColumn("_iy", F.explode(F.sequence(
-                     F.floor((F.least("ay1", "ay2") - R) / g),
-                     F.floor((F.greatest("ay1", "ay2") + R) / g))))
-                 .withColumn("cell", _cell_key(F.col("_ix"), F.col("_iy")))
-                 .drop("_ix", "_iy"))
+        p_cov = _bbox_cover(remaining, g, R, prefix="a")
         cand = (p_cov.join(base_cov, "cell")
                 .filter(F.col("a_seg") != F.col("b_seg"))
                 # asymmetric responsible cell (probe expanded by R, base by 0)
@@ -395,7 +372,7 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
     return out
 
 
-TRAJ_VENUE_STRIDE = 10_000  # traj_id = venue * stride + walk (fixtures)
+TRAJ_VENUE_STRIDE = VENUE_STRIDE  # single source: imc.config
 
 
 class _PackedTiles:

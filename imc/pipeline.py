@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import uuid
 from contextlib import contextmanager
 
@@ -24,9 +25,7 @@ from pyspark.sql import functions as F
 
 from imc import (corridors, dbscan, extract, joins, manifest, raster,
                  segments, sweep)
-from imc.config import IMCParams
-
-VENUE_STRIDE = 10_000  # traj_id = venue * stride + walk
+from imc.config import VENUE_STRIDE, IMCParams
 
 
 def _input_fingerprint(pages: DataFrame) -> str:
@@ -151,6 +150,13 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
             for name in ("points", "segments", "eps_pairs", "assignments",
                          "rep_points", "corridors", "raster", "polygons",
                          "tile_assignments")}
+    for name, m in prev.items():
+        if m.get("params_hash") != ph:
+            raise ValueError(
+                f"incremental run params (hash {ph}) do not match the "
+                f"existing '{name}' stage (hash {m.get('params_hash')}); "
+                f"a merged table would mix results computed under different "
+                f"parameters — rerun the full pipeline instead")
     delta_fp = _input_fingerprint(new_pages)
 
     def inputs_of(name: str) -> list[str]:
@@ -169,9 +175,15 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         """Dynamic-partition-overwrite the affected venue dirs, refresh the
         manifest (recount), return the full merged table. localCheckpoint
         breaks the read-path↔write-path cycle (a real Iceberg commit makes
-        this a metadata swap)."""
+        this a metadata swap). Affected venue dirs are DROPPED first:
+        dynamic overwrite only replaces partitions PRESENT in df, so a
+        venue whose recompute yields zero rows (e.g. its new pages carry
+        only sub-2-point trajectories) would otherwise keep its stale
+        partition and silently break the bit-equal-to-full guarantee."""
         path = os.path.join(out_dir, name)
         df = df.localCheckpoint(eager=True)
+        for v in affected:
+            shutil.rmtree(os.path.join(path, f"venue={v}"), ignore_errors=True)
         with _dynamic_overwrite(spark):
             df.write.mode("overwrite").partitionBy("venue").parquet(path)
         snap = manifest.refresh_manifest(spark, path, name, inputs_of(name),
@@ -203,15 +215,18 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
 
     old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
     new_pairs = joins.eps_join(segs_aff, params)
-    rewrite("eps_pairs",
-            old_pairs.filter(~seg_venue("a_seg").isin(affected))
-            .unionByName(align(new_pairs, old_pairs)))
+    pairs_tbl = rewrite("eps_pairs",
+                        old_pairs.filter(~seg_venue("a_seg").isin(affected))
+                        .unionByName(align(new_pairs, old_pairs)))
 
     # assignments: components are venue-local, but canonical ids are a
     # GLOBAL dense rank of component-min seg_ids — key each side by its
-    # component min (collision-free), merge, re-rank
+    # component min (collision-free), merge, re-rank. DBSCAN consumes the
+    # MATERIALIZED pair table (filtered back to affected venues), not the
+    # new_pairs plan — the ε-join would otherwise run twice
     old_assign = manifest.read_stage(spark, os.path.join(out_dir, "assignments"))
-    new_assign = dbscan.dbscan(segs_aff, new_pairs, params)
+    new_assign = dbscan.dbscan(
+        segs_aff, pairs_tbl.filter(seg_venue("a_seg").isin(affected)), params)
     merged_keyed = (
         _with_comp_key(old_assign).filter(~seg_venue("seg_id").isin(affected))
         .unionByName(align(_with_comp_key(new_assign),

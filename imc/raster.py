@@ -20,10 +20,10 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from imc import rasterops
-from imc.config import IMCParams
+from imc.config import VENUE_STRIDE, IMCParams
 from imc.kernels import grid_traverse_batch
 
-TRAJ_VENUE_STRIDE = 10_000  # traj_id = venue * stride + walk (fixtures/gen_pages.py)
+TRAJ_VENUE_STRIDE = VENUE_STRIDE  # single source: imc.config
 
 _CELLS_SCHEMA = T.ArrayType(T.StructType([
     T.StructField("gx", T.IntegerType()),

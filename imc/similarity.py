@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _cos_expr(x, y):
+    """Exact cosine as JVM array expressions, fixed dimension order, with
+    the shared 1e-300 zero-norm guard — the ONE definition every LSH
+    refine uses (the DuckDB oracles must match it at round 6)."""
+    dot = F.aggregate(F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nx = F.sqrt(F.aggregate(F.transform(x, lambda p: p.cast("double") * p.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    ny = F.sqrt(F.aggregate(F.transform(y, lambda p: p.cast("double") * p.cast("double")),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / F.greatest(nx * ny, F.lit(1e-300))
+
+
 _TOPK_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType()),
     T.StructField("neighbor_id", T.LongType()),
@@ -162,18 +175,9 @@ def ann_topk_lsh_multi(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
             .select("query_id", "neighbor_id", "q_emb", "b_emb")
             .dropDuplicates(["query_id", "neighbor_id"]))
 
-    def cos(x, y):
-        dot = F.aggregate(F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-                          F.lit(0.0), lambda acc, v: acc + v)
-        nx = F.sqrt(F.aggregate(F.transform(x, lambda p: p.cast("double") * p.cast("double")),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        ny = F.sqrt(F.aggregate(F.transform(y, lambda p: p.cast("double") * p.cast("double")),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        return dot / F.greatest(nx * ny, F.lit(1e-300))
-
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (cand
-            .withColumn("score", F.round(cos(F.col("q_emb"), F.col("b_emb")), 6))
+            .withColumn("score", F.round(_cos_expr(F.col("q_emb"), F.col("b_emb")), 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
@@ -200,17 +204,8 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
             .select("a_id", "b_id", "a_emb", "b_emb")
             .dropDuplicates(["a_id", "b_id"]))
 
-    def cos(x, y):
-        dot = F.aggregate(F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-                          F.lit(0.0), lambda acc, v: acc + v)
-        nx = F.sqrt(F.aggregate(F.transform(x, lambda p: p.cast("double") * p.cast("double")),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        ny = F.sqrt(F.aggregate(F.transform(y, lambda p: p.cast("double") * p.cast("double")),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        return dot / F.greatest(nx * ny, F.lit(1e-300))
-
     return (cand
-            .withColumn("cos", F.round(cos(F.col("a_emb"), F.col("b_emb")), 6))
+            .withColumn("cos", F.round(_cos_expr(F.col("a_emb"), F.col("b_emb")), 6))
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", "cos"))
 
@@ -231,18 +226,9 @@ def ann_topk_lsh(embeddings: DataFrame, k: int = 5,
     joined = a.join(b, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
 
     # cosine in fixed dimension order via zip_with + aggregate (JVM-side)
-    def cos(x, y):
-        dot = F.aggregate(F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-                          F.lit(0.0), lambda acc, v: acc + v)
-        nx = F.sqrt(F.aggregate(F.transform(x, lambda p: p.cast("double") * p.cast("double")),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        ny = F.sqrt(F.aggregate(F.transform(y, lambda p: p.cast("double") * p.cast("double")),
-                                F.lit(0.0), lambda acc, v: acc + v))
-        return dot / F.greatest(nx * ny, F.lit(1e-300))
-
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (joined
-            .withColumn("score", F.round(cos(F.col("q_emb"), F.col("b_emb")), 6))
+            .withColumn("score", F.round(_cos_expr(F.col("q_emb"), F.col("b_emb")), 6))
             .withColumn("rank", F.row_number().over(w))  # score already rounded
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))

@@ -74,3 +74,55 @@ def test_incremental_equals_full(spark, tmp_path):
     # manifests record the delta lineage (parent snapshot + delta fp)
     m = manifest.read_manifest(inc_results["eps_pairs"][0])
     assert len(m["inputs"]) == 2 and m["committed"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_empty_venue_drops_stale_partition(spark, tmp_path):
+    """A new batch can make an affected venue produce ZERO rows for a
+    stage (here: every venue-0 walk url replaced by a 1-point trajectory
+    → no segments). Dynamic overwrite alone would keep the stale venue=0
+    partition; the incremental run must drop it and still equal a full
+    recompute over the merged corpus."""
+    import pandas as pdd
+    from fixtures.gen_pages import _make_html, _make_text
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.01))
+
+    rows = []
+    ts = pdd.Timestamp("2027-01-01T00:00:00")  # newer than everything
+    for slot in range(0, 500, 10):  # every venue-0 walk-carrying slot
+        url = f"https://fixture.test/venue0/walk{slot}"
+        traj = f"TRAJ {slot // 10} 0 1.000000 2.000000 2027-01-01T00:00:00Z"
+        rows.append((url, ts, _make_html("t", "p", traj),
+                     _make_text("t", "p", traj), "en"))
+    new_batch = spark.createDataFrame(
+        pdd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]))
+
+    inc_out = str(tmp_path / "inc2")
+    pipeline.run(spark, pages, inc_out, PARAMS)
+    inc_results = pipeline.run_incremental(spark, new_batch, inc_out, PARAMS)
+
+    assert not os.path.exists(os.path.join(inc_results["segments"][0], "venue=0"))
+    segs = spark.read.parquet(inc_results["segments"][0])
+    assert segs.filter("venue = 0").count() == 0
+    assert segs.count() > 0  # venues 1-9 intact
+
+    full_out = str(tmp_path / "full2")
+    full_results = pipeline.run(spark, pages.unionByName(new_batch),
+                                full_out, PARAMS)
+    for name, keys in [("segments", ["seg_id"]), ("eps_pairs", ["a_seg", "b_seg"]),
+                       ("assignments", ["seg_id"]),
+                       ("tile_assignments", ["seg_id"])]:
+        got = _read_sorted(spark, inc_results[name][0], keys)
+        want = _read_sorted(spark, full_results[name][0], keys)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_rejects_params_mismatch(spark, tmp_path):
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
+    out = str(tmp_path / "pm")
+    pipeline.run(spark, pages, out, PARAMS)
+    import dataclasses
+    other = dataclasses.replace(PARAMS, eps=2.4)
+    with pytest.raises(ValueError, match="params"):
+        pipeline.run_incremental(spark, pages.limit(10), out, other)
