@@ -102,8 +102,22 @@ def main():
         "bound what raw single-box efficiency can show.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write("\n".join(lines))
+    # replace any prior ceilings section in place (ADVICE r02: append mode
+    # accumulated duplicate contradictory sections across runs)
+    baseline = os.path.join(REPO, "BENCH", "BASELINE.md")
+    header = "## Platform scaling ceilings (this box, measured)"
+    try:
+        with open(baseline) as f:
+            text = f.read()
+    except OSError:
+        text = ""
+    if header in text:
+        head, _, rest = text.partition(header)
+        # the old section runs until the next "## " heading (or EOF)
+        nxt = rest.find("\n## ")
+        text = head.rstrip("\n") + ("\n" + rest[nxt + 1:] if nxt >= 0 else "\n")
+    with open(baseline, "w") as f:
+        f.write(text.rstrip("\n") + "\n" + "\n".join(lines))
     print(json.dumps(res))
 
 

@@ -73,7 +73,18 @@ def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
 
 
 def _cell_key(ix: Column, iy: Column) -> Column:
-    return F.shiftleft(ix + F.lit(_KEY_BIAS), _KEY_SHIFT) + (iy + F.lit(_KEY_BIAS))
+    # envelope guard (ADVICE r02): an index beyond the 21-bit biased domain
+    # (|i| ≥ 2^20 ≈ ±5,000 km at default cell sizes) would silently alias
+    # distinct cells onto one key — dropping true pairs and duplicating
+    # others. Fail loudly instead (same envelope imc/cells.py enforces);
+    # the branch is codegen'd and costs four integer compares per row.
+    ok = ((ix >= -_KEY_BIAS) & (ix < _KEY_BIAS)
+          & (iy >= -_KEY_BIAS) & (iy < _KEY_BIAS))
+    key = F.shiftleft(ix + F.lit(_KEY_BIAS), _KEY_SHIFT) + (iy + F.lit(_KEY_BIAS))
+    return F.when(ok, key).otherwise(F.raise_error(F.lit(
+        "cell index out of the 21-bit biased envelope (|floor(coord/cell)| "
+        ">= 2^20): coordinates exceed the supported domain — use a coarser "
+        "join cell or pre-filter the input extent")))
 
 
 def _bbox_cover(segs: DataFrame, g: float, r: float, prefix: str = "") -> DataFrame:

@@ -29,15 +29,22 @@ from imc.config import VENUE_STRIDE, IMCParams
 
 
 def _input_fingerprint(pages: DataFrame) -> str:
-    """Content-address the pipeline ROOT from the actual input: file list +
-    sizes + mtimes (ADVICE r01: a literal 'pages' root made a rerun with a
-    different --input but the same --output silently resume-skip every
-    stage and return stale outputs). In-memory inputs get a unique id —
-    no stable identity ⟹ no resume skipping."""
+    """Content-address the pipeline ROOT from the actual input: the
+    canonicalized logical-plan hash PLUS file list + sizes + mtimes.
+
+    Two ADVICE-found stale-resume classes are both closed here: a rerun
+    with a different --input but the same --output (r01 — caught by the
+    file listing), and two different filtered/derived views over the SAME
+    files, e.g. run(pages.filter(...)) then run(pages) (r02 — caught by
+    semanticHash, which differs whenever the plan differs and is
+    canonicalized, so a plain re-read of the same path still matches).
+    In-memory inputs get a unique id — no stable identity ⟹ no resume
+    skipping."""
     files = sorted(pages.inputFiles())
     if not files:
         return "inmemory-" + uuid.uuid4().hex
     h = hashlib.sha256()
+    h.update(f"plan|{pages.semanticHash()}".encode())
     for f in files:
         local = f[7:] if f.startswith("file://") else (
             f[5:] if f.startswith("file:") else f)
