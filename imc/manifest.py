@@ -115,6 +115,21 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
      .saveAsTable(table))
 
 
+def mark_uncommitted(path: str) -> None:
+    """Tombstone an existing manifest (committed=False) BEFORE destructive
+    partition operations: a crash between a partition drop and the new
+    commit must leave the stage un-resumable instead of serving truncated
+    data as committed (the iceberg-lite analogue of an in-flight snapshot)."""
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return
+    with open(mp) as f:
+        m = json.load(f)
+    m["committed"] = False
+    with open(mp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+
+
 def read_manifest(path: str) -> dict:
     with open(_manifest_path(path)) as f:
         return json.load(f)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 import uuid
 from contextlib import contextmanager
 
@@ -145,7 +144,18 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
 
     Contract (matches append-only crawls): a url in the new batch is at
     least as new as any already-ingested version — its points REPLACE the
-    old url's points wholesale.
+    old url's points wholesale (including the zero-point case: a re-crawl
+    whose new version carries no extractable points deletes the old ones).
+
+    Scale posture: the affected-venue set participates in every merge plan
+    as a broadcast-joined DataFrame — never as an `isin(...)` literal list
+    (plan size stays O(1) in the venue count; explain-size test-gated).
+    The one driver-side venue list is the partition-drop loop, which is
+    O(|delta venues|) — the same partition list a real Iceberg dynamic
+    overwrite commits — and deletes through the Hadoop FileSystem API, so
+    hdfs:// / s3a:// stage roots work, with the manifest tombstoned
+    (committed=False) before any drop so a crash never leaves truncated
+    data marked committed.
 
     Returns {stage: (path, snapshot_id)} like run()."""
     params = params or IMCParams()
@@ -171,12 +181,23 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
 
     new_pts = (extract.pages_to_points(new_pages).withColumn("venue", venue_col)
                .localCheckpoint(eager=True))
-    affected = sorted(r["venue"] for r in new_pts.select("venue").distinct().collect())
-    new_urls = new_pts.select("url").distinct()
-    aff = F.col("venue").isin(affected)
+    # urls from the BATCH, not from the extracted points: a url whose new
+    # version yields zero points must still replace (delete) its old points
+    new_urls = new_pages.select("url").distinct().localCheckpoint(eager=True)
+    old_points = manifest.read_stage(spark, os.path.join(out_dir, "points"))
+    # affected venues = venues receiving NEW points ∪ venues LOSING points
+    # because one of their urls was re-crawled (ADVICE r02: a url's newer
+    # version may stop carrying points for a venue its old version had —
+    # that venue must recompute too, or its stale rows survive the merge)
+    aff_df = (new_pts.select("venue")
+              .unionByName(old_points.join(new_urls, "url", "left_semi")
+                           .select("venue"))
+              .distinct().localCheckpoint(eager=True))
+    affected = sorted(r["venue"] for r in aff_df.collect())
 
-    def seg_venue(col: str):
-        return (F.col(col) / (segments.SEG_ID_STRIDE * VENUE_STRIDE)).cast("long")
+    def in_aff(df: DataFrame, key: str | None = None,
+               anti: bool = False) -> DataFrame:
+        return _venue_filter(df, aff_df, key=key, anti=anti)
 
     def overwrite_partitions(name: str, df: DataFrame) -> DataFrame:
         """Dynamic-partition-overwrite the affected venue dirs, refresh the
@@ -189,8 +210,9 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         partition and silently break the bit-equal-to-full guarantee."""
         path = os.path.join(out_dir, name)
         df = df.localCheckpoint(eager=True)
+        manifest.mark_uncommitted(path)
         for v in affected:
-            shutil.rmtree(os.path.join(path, f"venue={v}"), ignore_errors=True)
+            _delete_dir(spark, os.path.join(path, f"venue={v}"))
         with _dynamic_overwrite(spark):
             df.write.mode("overwrite").partitionBy("venue").parquet(path)
         snap = manifest.refresh_manifest(spark, path, name, inputs_of(name),
@@ -209,21 +231,20 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                            for f in like.schema.fields])
 
-    old_points = manifest.read_stage(spark, os.path.join(out_dir, "points"))
     points = overwrite_partitions(
         "points",
-        old_points.filter(aff).join(new_urls, "url", "left_anti")
+        in_aff(old_points).join(new_urls, "url", "left_anti")
         .unionByName(align(new_pts, old_points)))
 
     segs = overwrite_partitions(
         "segments",
-        segments.mdl_segments(points.filter(aff)).withColumn("venue", venue_col))
-    segs_aff = segs.filter(aff).localCheckpoint(eager=True)
+        segments.mdl_segments(in_aff(points)).withColumn("venue", venue_col))
+    segs_aff = in_aff(segs).localCheckpoint(eager=True)
 
     old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
     new_pairs = joins.eps_join(segs_aff, params)
     pairs_tbl = rewrite("eps_pairs",
-                        old_pairs.filter(~seg_venue("a_seg").isin(affected))
+                        in_aff(old_pairs, key="a_seg", anti=True)
                         .unionByName(align(new_pairs, old_pairs)))
 
     # assignments: components are venue-local, but canonical ids are a
@@ -233,9 +254,9 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     # new_pairs plan — the ε-join would otherwise run twice
     old_assign = manifest.read_stage(spark, os.path.join(out_dir, "assignments"))
     new_assign = dbscan.dbscan(
-        segs_aff, pairs_tbl.filter(seg_venue("a_seg").isin(affected)), params)
+        segs_aff, in_aff(pairs_tbl, key="a_seg"), params)
     merged_keyed = (
-        _with_comp_key(old_assign).filter(~seg_venue("seg_id").isin(affected))
+        in_aff(_with_comp_key(old_assign), key="seg_id", anti=True)
         .unionByName(align(_with_comp_key(new_assign),
                            _with_comp_key(old_assign))))
     assign = rewrite("assignments", _rank_comp_keys(merged_keyed))
@@ -245,15 +266,43 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
 
     rast = overwrite_partitions("raster", raster.rasterize(segs_aff, params))
     polys = overwrite_partitions(
-        "polygons", raster.extract_polygons(rast.filter(aff), params))
+        "polygons", raster.extract_polygons(in_aff(rast), params))
 
     old_ta = manifest.read_stage(spark, os.path.join(out_dir, "tile_assignments"))
     new_ta = joins.tile_assignments(
-        segs_aff, _tiles_from_polygons(polys.filter(aff)))
+        segs_aff, _tiles_from_polygons(in_aff(polys)))
     rewrite("tile_assignments",
-            old_ta.filter(~seg_venue("seg_id").isin(affected))
+            in_aff(old_ta, key="seg_id", anti=True)
             .unionByName(align(new_ta, old_ta)))
     return results
+
+
+def _venue_filter(df: DataFrame, aff_df: DataFrame, key: str | None = None,
+                  anti: bool = False) -> DataFrame:
+    """Semi/anti-join df against an affected-venue DataFrame. `key` names a
+    seg-id column to derive the venue from; None uses the existing `venue`
+    column. A broadcast JOIN, never an `isin` literal list: the merge plan
+    stays O(1)-sized however many venues a crawl delta touches
+    (explain-size test-gated)."""
+    how = "left_anti" if anti else "left_semi"
+    if key is None:
+        return df.join(F.broadcast(aff_df), "venue", how)
+    v = (F.col(key) / (segments.SEG_ID_STRIDE * VENUE_STRIDE)).cast("long")
+    return (df.withColumn("_v", v)
+            .join(F.broadcast(aff_df.withColumnRenamed("venue", "_v")),
+                  "_v", how)
+            .drop("_v"))
+
+
+def _delete_dir(spark: SparkSession, path_str: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — path-scheme
+    aware (file://, hdfs://, s3a:// all resolve to their FileSystem), so
+    incremental partition drops work on non-local stage roots too."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def _with_comp_key(assign: DataFrame) -> DataFrame:

@@ -118,6 +118,61 @@ def test_incremental_empty_venue_drops_stale_partition(spark, tmp_path):
 
 
 @pytest.mark.usefixtures("spark")
+def test_incremental_recrawl_without_points_purges_old_venue(spark, tmp_path):
+    """ADVICE r02 (medium): a url's newer version may carry NO points for a
+    venue its old version had. That venue is absent from the new batch's
+    extracted points, but must still be recomputed — otherwise its stale
+    points (and all downstream rows) survive, breaking the wholesale-
+    replace contract and the bit-equal-to-full guarantee."""
+    import pandas as pdd
+    from fixtures.gen_pages import _make_html, _make_text
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))  # 1 venue
+
+    # pick a url that currently carries points; re-crawl it with a page
+    # that has no TRAJ lines at all (boilerplate-only page)
+    from imc.extract import pages_to_points
+    victim = pages_to_points(pages).select("url").distinct().limit(1).collect()[0]["url"]
+    ts = pdd.Timestamp("2027-01-01T00:00:00")  # newer than everything
+    new_batch = spark.createDataFrame(pdd.DataFrame(
+        [(victim, ts, _make_html("t", "no geometry here", None),
+          _make_text("t", "no geometry here", None), "en")],
+        columns=["url", "warc_ts", "html", "text", "lang"]))
+
+    inc_out = str(tmp_path / "inc3")
+    pipeline.run(spark, pages, inc_out, PARAMS)
+    inc_results = pipeline.run_incremental(spark, new_batch, inc_out, PARAMS)
+
+    pts = spark.read.parquet(inc_results["points"][0])
+    assert pts.filter(pts.url == victim).count() == 0  # old points purged
+
+    full_out = str(tmp_path / "full3")
+    full_results = pipeline.run(spark, pages.unionByName(new_batch),
+                                full_out, PARAMS)
+    for name, keys in [("points", ["traj_id", "seq"]), ("segments", ["seg_id"]),
+                       ("eps_pairs", ["a_seg", "b_seg"]),
+                       ("assignments", ["seg_id"])]:
+        got = _read_sorted(spark, inc_results[name][0], keys)
+        want = _read_sorted(spark, full_results[name][0], keys)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_merge_plan_bounded(spark):
+    """The merge filters must JOIN against the affected-venue set — never
+    embed it as an isin literal list: the optimized plan stays O(1)-sized
+    however many venues a crawl delta touches."""
+    from pyspark.sql import functions as F
+    aff = (spark.range(100_000).select(F.col("id").alias("venue"))
+           .localCheckpoint(eager=True))
+    old = spark.range(100).select((F.col("id") * 1_000_000_000).alias("a_seg"))
+    kept = pipeline._venue_filter(old, aff, key="a_seg", anti=True)
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"merge plan grew with venue count: {len(plan)}"
+    # and it actually filters: venues 0..99999 are all affected here
+    assert kept.count() == 0
+
+
+@pytest.mark.usefixtures("spark")
 def test_incremental_rejects_params_mismatch(spark, tmp_path):
     pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
     out = str(tmp_path / "pm")
