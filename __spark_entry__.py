@@ -8,9 +8,27 @@ value-hash → CORRECTNESS_r{N}.json).
 Query groups (SURVEY.md §2 coverage):
   * imc_*       — the TRACLUS spatial pipeline operators on the synthetic
                   pages corpus (fixtures/gen_pages.py, derived from sf_dir's
-                  scale). Geometry is not ANSI-SQL-expressible → rows-only
-                  checks; exactness is gated by the committed golden
-                  fixtures (tests/test_golden.py) instead.
+                  scale). DuckDB-oracled wherever the semantics are
+                  SQL-expressible — including DBSCAN (recursive-CTE
+                  connected components), the ε-entropy parameter search,
+                  and the supercover raster (generate_series crossing
+                  parameters). Exactly FOUR stay rows-only, each because
+                  its semantics are an inherently SEQUENTIAL per-group
+                  geometric recurrence with data-dependent control flow
+                  that ANSI SQL cannot express:
+                    - imc_segments: the MDL walk ([T] §3.3) advances
+                      point-by-point; each step's cost depends on the
+                      previous partition decision.
+                    - imc_rep_points: the sweep ([T] §4.3) emits points
+                      conditional on the last EMITTED x' (γ spacing) — a
+                      running-state recurrence over a sorted stream.
+                    - imc_polygons: marching-squares boundary stitching
+                      walks the grid cell-by-cell with direction state.
+                    - imc_corridors: the miter-offset buffer derives each
+                      vertex from its neighbors' turn geometry and a
+                      width quantile of the sweep state.
+                  Their exactness is gated by committed golden fixtures
+                  (tests/test_golden.py) + kernel equivalence tests.
   * dedup_* / text_* / media_* / ann_* — web-corpus training-data ops over
                   the driver's documents/embeddings tables, each with an
                   exactly-matching DuckDB oracle.
@@ -20,6 +38,7 @@ Query groups (SURVEY.md §2 coverage):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 from collections.abc import Callable
@@ -33,9 +52,12 @@ from fixtures import gen_pages  # noqa: E402
 from imc import (corridors, dbscan, extract, joins, multimodal,  # noqa: E402
                  params_search, quality, raster, segments, similarity,
                  sweep, textops)
-from imc.config import IMCParams  # noqa: E402
+from imc.config import VENUE_STRIDE, IMCParams  # noqa: E402
 
 PARAMS = IMCParams(eps=1.2, min_lns=3)
+# candidate ε values of the parameter-search query (shared by the Spark
+# query and its DuckDB oracle so the two stay in lockstep)
+_ENTROPY_EPS = [0.6, 1.2, 2.4]
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -177,7 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate ε with the neighborhood entropy and mean |Nε|
         segs = _fixture_segments(spark, sf_dir)
         segs.cache()
-        res = params_search.search_eps(segs, [0.6, 1.2, 2.4], PARAMS)
+        res = params_search.search_eps(segs, _ENTROPY_EPS, PARAMS)
         rows = [(float(e), float(round(h, 6)), float(round(a, 6)))
                 for e, h, a in res["table"]]
         return spark.createDataFrame(rows, "eps double, entropy double, avg_n double")
@@ -556,6 +578,9 @@ def oracle_sql() -> dict[str, str]:
            "b.embedding::DOUBLE[]), 6)")
     pages_path, segs_path = _fixture_paths()
     gap2 = PARAMS.gap_bound * PARAMS.gap_bound
+    # widest entropy candidate's gap bound (complete for the smaller ε too)
+    _wide = dataclasses.replace(PARAMS, eps=max(_ENTROPY_EPS))
+    wide_gap2 = _wide.gap_bound * _wide.gap_bound
     bbox_gap2 = ("(power(greatest(0.0, least(ax1,ax2)-greatest(bx1,bx2), "
                  "least(bx1,bx2)-greatest(ax1,ax2)), 2) + "
                  "power(greatest(0.0, least(ay1,ay2)-greatest(by1,by2), "
@@ -649,6 +674,139 @@ def oracle_sql() -> dict[str, str]:
                        FROM crossings WHERE c % 2 = 1 GROUP BY seg_id)
             SELECT s.seg_id, coalesce(i.tile_id, -1)::BIGINT AS tile_id
             FROM segs s LEFT JOIN inside i USING (seg_id)
+        """,
+        # ε-entropy parameter search ([T] §4.4): the oracled ε-pair chain,
+        # evaluated at three candidate ε via one lateral VALUES join; the
+        # bbox prefilter uses the WIDEST candidate's gap bound (dist ≤ ε ⟹
+        # gap ≤ 2ε, so the 2.4-candidate bound is complete for all three)
+        "imc_param_entropy": f"""
+            WITH s AS (SELECT seg_id, x1, y1, x2, y2
+                       FROM read_parquet('{segs_path}')),
+            cand AS (
+              SELECT a.seg_id AS a_seg, b.seg_id AS b_seg,
+                     {seg_cols_a}, {seg_cols_b}
+              FROM s a JOIN s b ON a.seg_id < b.seg_id),
+            pre AS (SELECT * FROM cand WHERE {bbox_gap2} <= {wide_gap2!r}),
+            {_traclus_chain().replace('FROM cand', 'FROM pre', 1)},
+            d AS MATERIALIZED (
+              SELECT a_seg, b_seg, d_perp + d_par + d_ang AS dist FROM m6
+              WHERE d_perp + d_par + d_ang <= {max(_ENTROPY_EPS)!r}),
+            eps(eps) AS (VALUES {', '.join(f'({e!r}::DOUBLE)'
+                                           for e in _ENTROPY_EPS)}),
+            sym AS (SELECT e.eps, d.a_seg AS seg FROM eps e
+                      JOIN d ON d.dist <= e.eps
+                    UNION ALL
+                    SELECT e.eps, d.b_seg FROM eps e
+                      JOIN d ON d.dist <= e.eps),
+            nb AS (SELECT eps, seg, count(*) AS n FROM sym GROUP BY eps, seg),
+            deg AS (SELECT e.eps, (coalesce(nb.n, 0) + 1) AS n_eps
+                    FROM s CROSS JOIN eps e
+                    LEFT JOIN nb ON nb.eps = e.eps AND nb.seg = s.seg_id),
+            agg AS (SELECT eps, sum(n_eps)::DOUBLE AS total, avg(n_eps) AS avg_n,
+                           sum(n_eps * log2(n_eps)) AS nlogn
+                    FROM deg GROUP BY eps)
+            SELECT eps, round(log2(total) - nlogn / total, 6) AS entropy,
+                   round(avg_n, 6) AS avg_n
+            FROM agg
+        """,
+        # segment DBSCAN: ε-graph from the oracled pair chain; connected
+        # components of the core-core subgraph via a recursive min-label
+        # closure; border attach = min adjacent core component; |PTR| ≥
+        # MinLns survival; dense-rank canonical ids — the full imc.dbscan
+        # contract in ANSI SQL
+        "imc_assignments": f"""
+            WITH RECURSIVE
+            s AS (SELECT seg_id, x1, y1, x2, y2
+                  FROM read_parquet('{segs_path}')),
+            cand AS (
+              SELECT a.seg_id AS a_seg, b.seg_id AS b_seg,
+                     {seg_cols_a}, {seg_cols_b}
+              FROM s a JOIN s b ON a.seg_id < b.seg_id),
+            pre AS (SELECT * FROM cand WHERE {bbox_gap2} <= {gap2!r}),
+            {_traclus_chain().replace('FROM cand', 'FROM pre', 1)},
+            pairs AS MATERIALIZED (
+              SELECT a_seg, b_seg FROM m6
+              WHERE d_perp + d_par + d_ang <= {PARAMS.eps!r}),
+            sym AS MATERIALIZED (
+              SELECT a_seg AS src, b_seg AS dst FROM pairs
+              UNION ALL SELECT b_seg, a_seg FROM pairs),
+            deg AS (SELECT s.seg_id, count(sym.dst) + 1 AS n_eps
+                    FROM s LEFT JOIN sym ON sym.src = s.seg_id
+                    GROUP BY s.seg_id),
+            cores AS MATERIALIZED (
+              SELECT seg_id FROM deg WHERE n_eps >= {PARAMS.min_lns}),
+            ce AS MATERIALIZED (
+              SELECT src, dst FROM sym
+              WHERE src IN (SELECT seg_id FROM cores)
+                AND dst IN (SELECT seg_id FROM cores)),
+            reach(seg, r) AS (
+              SELECT seg_id, seg_id FROM cores
+              UNION
+              SELECT reach.seg, ce.dst FROM reach JOIN ce ON ce.src = reach.r),
+            comp AS (SELECT seg AS seg_id, min(r) AS comp FROM reach
+                     GROUP BY seg),
+            border AS (
+              SELECT sym.src AS seg_id, min(c.comp) AS comp
+              FROM sym JOIN comp c ON c.seg_id = sym.dst
+              WHERE sym.src NOT IN (SELECT seg_id FROM cores)
+              GROUP BY sym.src),
+            assigned AS (
+              SELECT seg_id, comp, TRUE AS is_core FROM comp
+              UNION ALL SELECT seg_id, comp, FALSE AS is_core FROM border),
+            keep AS (SELECT comp FROM assigned
+                     GROUP BY comp
+                     HAVING count(DISTINCT seg_id // {segments.SEG_ID_STRIDE})
+                            >= {PARAMS.min_lns}),
+            surv AS (SELECT * FROM assigned
+                     WHERE comp IN (SELECT comp FROM keep)),
+            ranked AS (SELECT comp,
+                              (row_number() OVER (ORDER BY comp) - 1)::BIGINT
+                                AS cluster_id
+                       FROM (SELECT DISTINCT comp FROM surv))
+            SELECT surv.seg_id, ranked.cluster_id, surv.is_core
+            FROM surv JOIN ranked USING (comp)
+        """,
+        # supercover raster: mirrors kernels.grid_traverse_batch — all
+        # grid-line crossing parameters t per segment via generate_series,
+        # sorted; each positive-width inter-crossing interval's midpoint
+        # identifies one traversed cell; hash-agg hit counts
+        "imc_raster": f"""
+            WITH s AS (SELECT seg_id, traj_id,
+                              x1 / {PARAMS.raster_cell!r} AS a1,
+                              y1 / {PARAMS.raster_cell!r} AS b1,
+                              x2 / {PARAMS.raster_cell!r} AS a2,
+                              y2 / {PARAMS.raster_cell!r} AS b2
+                       FROM read_parquet('{segs_path}')),
+            g AS (SELECT *, floor(a1)::BIGINT AS ix1, floor(b1)::BIGINT AS iy1,
+                         floor(a2)::BIGINT AS ix2, floor(b2)::BIGINT AS iy2,
+                         (a2 - a1) AS dx, (b2 - b1) AS dy
+                  FROM s),
+            xc AS (SELECT seg_id, (k::DOUBLE - a1) / dx AS t FROM (
+                     SELECT seg_id, a1, dx,
+                            unnest(generate_series(least(ix1, ix2) + 1,
+                                                   greatest(ix1, ix2))) AS k
+                     FROM g)),
+            yc AS (SELECT seg_id, (k::DOUBLE - b1) / dy AS t FROM (
+                     SELECT seg_id, b1, dy,
+                            unnest(generate_series(least(iy1, iy2) + 1,
+                                                   greatest(iy1, iy2))) AS k
+                     FROM g)),
+            ts AS (SELECT seg_id, t FROM xc UNION ALL SELECT seg_id, t FROM yc
+                   UNION ALL SELECT seg_id, 0.0 FROM g
+                   UNION ALL SELECT seg_id, 1.0 FROM g),
+            iv AS (SELECT seg_id,
+                          lag(t) OVER (PARTITION BY seg_id ORDER BY t) AS lo,
+                          t AS hi
+                   FROM ts),
+            mid AS (SELECT seg_id, (lo + hi) / 2.0 AS tm FROM iv
+                    WHERE lo IS NOT NULL AND hi > lo),
+            cells AS (SELECT g.traj_id,
+                             floor(g.a1 + m.tm * g.dx)::INT AS gx,
+                             floor(g.b1 + m.tm * g.dy)::INT AS gy
+                      FROM mid m JOIN g ON g.seg_id = m.seg_id)
+            SELECT (traj_id // {VENUE_STRIDE}) AS venue, gx, gy,
+                   count(*) AS hits
+            FROM cells GROUP BY venue, gx, gy
         """,
         "dedup_simhash": f"""
             WITH {_simhash_cte()}
