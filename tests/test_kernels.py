@@ -182,6 +182,38 @@ def test_mdl_short_trajectories():
     assert list(kernels.mdl_partition(np.array([[0.0, 0.0], [1.0, 1.0]]))) == [0, 1]
 
 
+def test_mdl_batched_walk_equals_scalar_walk():
+    """The batched production walk must reproduce the scalar reference walk
+    EXACTLY (identical characteristic-point indices) — the goldens pin the
+    scalar behavior. Random fixture-like noisy walks, several batch sizes
+    (including batch=1 and batch larger than any trajectory)."""
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n = int(rng.integers(3, 120))
+        # noisy corridor-style walk: straight runs + occasional turns
+        heading = rng.uniform(0, 2 * np.pi)
+        pts = [np.zeros(2)]
+        for _ in range(n - 1):
+            if rng.random() < 0.15:
+                heading += rng.uniform(-np.pi / 2, np.pi / 2)
+            step = np.array([np.cos(heading), np.sin(heading)])
+            pts.append(pts[-1] + step + rng.normal(0, 0.1, 2))
+        pts = np.asarray(pts)
+        want = kernels.mdl_partition_scalar(pts)
+        for batch in (1, 3, 16, 256):
+            got = kernels.mdl_partition(pts, batch=batch)
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"trial={trial} batch={batch}")
+
+
+def test_mdl_batched_walk_equals_scalar_on_degenerate_inputs():
+    # repeated points (zero-length units) and collinear runs
+    pts = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [2.0, 0.0],
+                    [2.0, 0.0], [2.0, 1.0], [2.0, 2.0]])
+    np.testing.assert_array_equal(kernels.mdl_partition(pts),
+                                  kernels.mdl_partition_scalar(pts))
+
+
 def test_grid_traverse_contains_sampled_cells():
     rng = np.random.default_rng(11)
     for _ in range(100):
