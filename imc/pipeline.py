@@ -94,20 +94,36 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
     polys, s_polys = stage("polygons", raster.extract_polygons(rast, params),
                            [s_rast], partition_by=["venue"])
 
-    # tiles := extracted outer polygons (small set → broadcast PIP);
-    # tile_id = venue * 1000 + poly_id (deterministic). The `venue` column
-    # keys the broadcast dict so each probe tests only its venue's rings.
-    tiles_pdf = _tiles_from_polygons(polys)
-    stage("tile_assignments", joins.tile_assignments(segs, tiles_pdf),
-          [s_seg, s_polys])
+    # tiles := extracted outer polygons; tile_id = venue * 1000 + poly_id
+    # (deterministic). Small tile sets take the broadcast PIP (the
+    # BASELINE.json "broadcast of small polygon sets" mandate — rings are
+    # collected once and shipped in the UDF closure); beyond the threshold
+    # the driver leaves the path entirely: venue-cogrouped PIP, where each
+    # venue's rings meet its segments inside one applyInPandas task.
+    n_polys = manifest.read_manifest(results["polygons"][0]).get(
+        "row_count", 0)
+    if n_polys <= TILE_BROADCAST_LIMIT:
+        ta = joins.tile_assignments(segs, _tiles_from_polygons(polys))
+    else:
+        ta = joins.tile_assignments_cogrouped(segs, _tiles_df_from_polygons(polys))
+    stage("tile_assignments", ta, [s_seg, s_polys])
     return results
 
 
+# above this many extracted polygons the tile set is no longer "small":
+# the pipeline switches from driver-collected broadcast PIP to the
+# venue-cogrouped PIP (no driver-side structure grows with venue count)
+TILE_BROADCAST_LIMIT = 20_000
+
+
+def _tiles_df_from_polygons(polys: DataFrame) -> DataFrame:
+    return (polys.filter("is_outer")
+            .select((F.col("venue") * 1000 + F.col("poly_id")).alias("tile_id"),
+                    "venue", "ring"))
+
+
 def _tiles_from_polygons(polys: DataFrame):
-    tiles_pdf = (polys.filter("is_outer")
-                 .select((F.col("venue") * 1000 + F.col("poly_id")).alias("tile_id"),
-                         "venue", "ring")
-                 .toPandas())
+    tiles_pdf = _tiles_df_from_polygons(polys).toPandas()
     tiles_pdf["kind"] = "corridor"
     return tiles_pdf
 
@@ -269,6 +285,8 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         "polygons", raster.extract_polygons(in_aff(rast), params))
 
     old_ta = manifest.read_stage(spark, os.path.join(out_dir, "tile_assignments"))
+    # delta-sized tile set (affected venues only) → the broadcast PIP is
+    # the right plan here regardless of total corpus size
     new_ta = joins.tile_assignments(
         segs_aff, _tiles_from_polygons(in_aff(polys)))
     rewrite("tile_assignments",

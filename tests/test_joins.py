@@ -182,3 +182,54 @@ def test_tile_assignment_matches_scalar(spark, seg_df):
     # walks stay in corridors: vast majority assigned
     frac = (got["tile_id"] >= 0).mean()
     assert frac > 0.9
+
+
+def test_tile_assignments_cogrouped_equals_broadcast_many_venues(spark):
+    """The cogrouped PIP (scale path: no driver collect, no broadcast) must
+    equal the broadcast PIP on a 1,200-venue corpus with overlapping tiles
+    (lowest-tile_id-wins tie), including venues with no tiles (-1) and
+    tiles with no segments."""
+    import pandas as pd
+    from imc.config import VENUE_STRIDE
+
+    n_v = 1200
+    seg_rows, tile_rows = [], []
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    for v in range(n_v):
+        ox, oy = (v % 40) * 100.0, (v // 40) * 100.0
+        traj = v * VENUE_STRIDE
+        # seg 0: inside both tiles (overlap) -> lowest tile_id wins
+        seg_rows.append((traj * 100000 + 0, traj, ox + 1.0, oy + 1.0,
+                         ox + 3.0, oy + 3.0))
+        # seg 1: inside tile 1 only
+        seg_rows.append((traj * 100000 + 1, traj, ox + 5.0, oy + 1.0,
+                         ox + 6.0, oy + 2.0))
+        # seg 2: outside every tile
+        seg_rows.append((traj * 100000 + 2, traj, ox + 50.0, oy + 50.0,
+                         ox + 51.0, oy + 51.0))
+        if v % 7 == 0:
+            continue  # venue without tiles: all segments -> -1
+        for tid, (dx, dy) in enumerate([(0.0, 0.0), (2.0, 0.0)]):
+            ring = [{"x": x + ox + dx, "y": y + oy + dy} for x, y in sq]
+            tile_rows.append((v * 1000 + tid, v, ring))
+    segs = spark.createDataFrame(
+        pd.DataFrame(seg_rows, columns=["seg_id", "traj_id",
+                                        "x1", "y1", "x2", "y2"]))
+    tiles_pdf = pd.DataFrame(tile_rows, columns=["tile_id", "venue", "ring"])
+    tiles_df = spark.createDataFrame(
+        tiles_pdf, "tile_id long, venue long, ring array<struct<x:double,y:double>>")
+
+    got = (joins.tile_assignments_cogrouped(segs, tiles_df)
+           .toPandas().sort_values("seg_id").reset_index(drop=True))
+    want = (joins.tile_assignments(segs, tiles_pdf)
+            .toPandas().sort_values("seg_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # sanity on the semantics themselves
+    m = dict(zip(got["seg_id"], got["tile_id"]))
+    v = 1  # a venue with tiles
+    traj = v * VENUE_STRIDE
+    assert m[traj * 100000 + 0] == v * 1000 + 0   # overlap -> lowest id
+    assert m[traj * 100000 + 1] == v * 1000 + 1
+    assert m[traj * 100000 + 2] == -1
+    assert all(m[t * 100000 + i] == -1
+               for t in [0 * VENUE_STRIDE, 7 * VENUE_STRIDE] for i in range(3))
