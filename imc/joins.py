@@ -234,6 +234,40 @@ def _bbox_gap2() -> Column:
     return dx * dx + dy * dy
 
 
+def _split_bbox_cover(segs: DataFrame, g: float, r: float,
+                      thresh: float) -> DataFrame:
+    """Cover of a LONG segment via its SUB-segment bboxes — linear in
+    length where the full-bbox cover is quadratic for diagonals (the
+    documented long-diagonal weakness, now closed). Sub-segments only
+    shape the cover; candidate rows carry the ORIGINAL segment coords.
+
+    Completeness: dist ≤ ε ⟹ the closest point pair (p*, q*) is within
+    gap_bound = 2r (imc/cells.py), so their midpoint is within r of both
+    p* and q* (L2 ⟹ L∞); p* lies in some sub-segment's bbox, hence the
+    midpoint lies in that sub-bbox expanded by r — the midpoint's cell is
+    in BOTH segments' covers. (The PBSM responsible-cell trick needs full
+    bboxes, so long-involving candidates dedupe by distinct instead —
+    bounded to the long minority.) Pure Catalyst, zero Python."""
+    x1, y1, x2, y2 = (F.col(c) for c in _COORDS)
+    ln = _hyp(x2 - x1, y2 - y1)
+    df = (segs
+          .withColumn("_n", F.greatest(F.ceil(ln / F.lit(thresh)), F.lit(1)))
+          .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))))
+    t0 = F.col("_i") / F.col("_n")
+    t1 = (F.col("_i") + 1) / F.col("_n")
+    ax, ay = x1 + t0 * (x2 - x1), y1 + t0 * (y2 - y1)
+    bx, by = x1 + t1 * (x2 - x1), y1 + t1 * (y2 - y1)
+    xmin, xmax = F.least(ax, bx), F.greatest(ax, bx)
+    ymin, ymax = F.least(ay, by), F.greatest(ay, by)
+    return (df
+            .withColumn("_ix", F.explode(F.sequence(
+                F.floor((xmin - r) / g), F.floor((xmax + r) / g))))
+            .withColumn("_iy", F.explode(F.sequence(
+                F.floor((ymin - r) / g), F.floor((ymax + r) / g))))
+            .withColumn("cell", _cell_key(F.col("_ix"), F.col("_iy")))
+            .drop("_ix", "_iy", "_i", "_n"))
+
+
 def _hot_cells(segs: DataFrame, g: float, r: float, factor: float) -> DataFrame:
     """Cells whose cover count exceeds factor × mean — the cheap pre-pass
     that drives salting (SURVEY.md §2.4 skew row). Runs on a 10% sample
@@ -248,13 +282,21 @@ def _hot_cells(segs: DataFrame, g: float, r: float, factor: float) -> DataFrame:
 
 
 def eps_join(segments: DataFrame, params: IMCParams | None = None,
-             salt: bool = True, metric: str = "traclus") -> DataFrame:
+             salt: bool = True, metric: str = "traclus",
+             split_factor: float = 4.0) -> DataFrame:
     """All pairs (a_seg < b_seg) with distance ≤ ε.
 
     Returns eps_pairs(a_seg BIGINT, b_seg BIGINT, dist DOUBLE) — itself a
     first-class deliverable ("matching the reference's join output rows",
     BASELINE.json north_rule). One shuffle end-to-end (the cover equi-join);
     dedupe is fused via the responsible-cell filter.
+
+    Segments longer than split_factor × join_cell contribute SUB-segment
+    covers (linear in length — a kilometre-scale diagonal no longer
+    explodes quadratically in cover cells); candidate pairs touching a
+    long segment dedupe by distinct on (a, b) instead of the responsible
+    cell, bounded to that minority. split_factor=0 disables the split
+    (full-bbox covers for everything, the pre-r3 plan).
     """
     params = params or IMCParams()
     g = params.join_cell
@@ -262,11 +304,23 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     r = gap / 2.0
     segs = _ensure_parallelism(segments.select("seg_id", *_COORDS))
 
-    cov = _bbox_cover(segs, g, r)
+    # long-segment probe: one column-pruned limit-1 scan. When no segment
+    # exceeds the split threshold — every MDL-partitioned corpus — the plan
+    # below is EXACTLY the single-join PBSM plan, zero overhead. Only a
+    # corpus actually containing long segments pays for the second join.
+    ln = _hyp(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
+    thresh = split_factor * g
+    has_long = (split_factor > 0
+                and not segs.filter(ln > F.lit(thresh)).isEmpty())
+    short = segs.filter(ln <= F.lit(thresh)) if has_long else segs
+    cov = _bbox_cover(short, g, r)
 
     if salt:
         s = params.salt_buckets
-        hot = _hot_cells(segs, g, r, params.hot_cell_factor)
+        # heat sampled over the short class only — it alone feeds the
+        # salted PBSM join (and keeps the sample cover away from the
+        # quadratic long-bbox case)
+        hot = _hot_cells(short, g, r, params.hot_cell_factor)
         hot = hot.withColumn("_hot", F.lit(True))
         left = (cov.join(F.broadcast(hot), "cell", "left")
                 .withColumn("salt",
@@ -290,18 +344,57 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     rt = right.select(F.col("seg_id").alias("b_seg"),
                       *[F.col(c).alias(f"b{c}") for c in _COORDS],
                       *join_keys)
-    cands = (l.join(rt, join_keys)
-             .filter(F.col("a_seg") < F.col("b_seg"))
-             # fused dedupe: keep the pair only in its responsible cell
-             .filter(F.col("cell") == _responsible_cell_expr(g, r, r))
-             # codegen bbox-gap prefilter before the exact refine
-             .filter(_bbox_gap2() <= F.lit(gap * gap)))
+    pair_cols = ["a_seg", "b_seg",
+                 *[f"a{c}" for c in _COORDS], *[f"b{c}" for c in _COORDS]]
+    uniq = (l.join(rt, join_keys)
+            .filter(F.col("a_seg") < F.col("b_seg"))
+            # fused dedupe: keep the pair only in its responsible cell
+            # (full-bbox covers guarantee it's in both covers)
+            .filter(F.col("cell") == _responsible_cell_expr(g, r, r))
+            # codegen bbox-gap prefilter before the exact refine
+            .filter(_bbox_gap2() <= F.lit(gap * gap))
+            .select(*pair_cols))
+
+    if has_long:
+        # long-involving pairs take a SECOND join: the long side's cover is
+        # per-SUB-segment (linear in length), the right side is every
+        # segment's cover, and — sub-covers break the responsible-cell
+        # guarantee — this minority dedupes by distinct on the canonical
+        # (a, b) instead. Disjoint from the short-short join by class, so
+        # no pair is double-counted across the union.
+        long_segs = segs.filter(ln > F.lit(thresh))
+        cov_long = _split_bbox_cover(long_segs, g, r, thresh)
+        cov_all = cov_long.unionByName(_bbox_cover(short, g, r))
+        l2 = cov_long.select(F.col("seg_id").alias("a_seg"),
+                             *[F.col(c).alias(f"a{c}") for c in _COORDS],
+                             "cell")
+        r2 = cov_all.select(F.col("seg_id").alias("b_seg"),
+                            *[F.col(c).alias(f"b{c}") for c in _COORDS],
+                            "cell")
+        sw = F.col("a_seg") > F.col("b_seg")
+
+        def _flip(ac: str, bc: str, out: str) -> Column:
+            return F.when(sw, F.col(bc)).otherwise(F.col(ac)).alias(out)
+
+        longc = (l2.join(r2, "cell")
+                 .filter(F.col("a_seg") != F.col("b_seg"))
+                 .filter(_bbox_gap2() <= F.lit(gap * gap))
+                 # canonical orientation (ids AND coords together: the
+                 # distance is symmetric, but float-exactness across
+                 # engines pins the a<b evaluation order)
+                 .select(_flip("a_seg", "b_seg", "a_seg"),
+                         _flip("b_seg", "a_seg", "b_seg"),
+                         *[_flip(f"a{c}", f"b{c}", f"a{c}") for c in _COORDS],
+                         *[_flip(f"b{c}", f"a{c}", f"b{c}") for c in _COORDS])
+                 .dropDuplicates(["a_seg", "b_seg"]))
+        uniq = uniq.unionByName(longc)
 
     # exact refine as Catalyst expressions — the whole ε-join is one
-    # shuffle of whole-stage-codegen'd stages, zero Python
-    refined = (with_traclus_dist(cands, params.w_perp, params.w_par, params.w_ang)
+    # shuffle of whole-stage-codegen'd stages, zero Python (plus, only
+    # when long segments exist, the second join and its minority distinct)
+    refined = (with_traclus_dist(uniq, params.w_perp, params.w_par, params.w_ang)
                if metric == "traclus"
-               else cands.withColumn("dist", hausdorff_dist_expr()))
+               else uniq.withColumn("dist", hausdorff_dist_expr()))
     return (refined
             .filter(F.col("dist") <= F.lit(params.eps))
             .select("a_seg", "b_seg", "dist"))

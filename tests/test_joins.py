@@ -233,3 +233,104 @@ def test_tile_assignments_cogrouped_equals_broadcast_many_venues(spark):
     assert m[traj * 100000 + 2] == -1
     assert all(m[t * 100000 + i] == -1
                for t in [0 * VENUE_STRIDE, 7 * VENUE_STRIDE] for i in range(3))
+
+
+def _diag_segment_df(spark, rng, n_base=15, n_short=80):
+    """Adversarial fixture: kilometre-scale diagonal segments (the case
+    where a full-bbox cover is quadratic) with planted NEAR pairs — two
+    parallel jittered copies per base diagonal (long-long pairs: small
+    d⊥/d∥/dθ) and short segments hugging base endpoints (long-short
+    pairs: d∥ small only near an endpoint), plus random far shorts."""
+    rows = []
+    sid = 1000
+    for i in range(n_base):
+        x = rng.uniform(-200, 200)
+        y = rng.uniform(-200, 200)
+        ang = rng.uniform(0, 2 * np.pi)
+        ln = rng.uniform(150, 600)
+        ux, uy = np.cos(ang), np.sin(ang)
+        nx, ny = -uy, ux
+        rows.append((sid, 1, x, y, x + ln * ux, y + ln * uy))
+        sid += 1
+        for _ in range(2):  # parallel near copies
+            off = rng.uniform(0.5, 3.0) * rng.choice([-1, 1])
+            j0 = rng.uniform(-2, 2)
+            j1 = rng.uniform(-2, 2)
+            rows.append((sid, 1,
+                         x + off * nx + j0 * ux, y + off * ny + j0 * uy,
+                         x + off * nx + (ln + j1) * ux,
+                         y + off * ny + (ln + j1) * uy))
+            sid += 1
+        for end in (0.0, 1.0):  # endpoint-hugging shorts
+            ex, ey = x + end * ln * ux, y + end * ln * uy
+            sl = rng.uniform(2.0, 6.0)
+            rows.append((sid, 1, ex + rng.uniform(-1, 1),
+                         ey + rng.uniform(-1, 1),
+                         ex + sl * ux + rng.uniform(-1, 1),
+                         ey + sl * uy + rng.uniform(-1, 1)))
+            sid += 1
+    for i in range(n_short):
+        x = rng.uniform(-300, 300)
+        y = rng.uniform(-300, 300)
+        ang = rng.uniform(0, 2 * np.pi)
+        ln = rng.uniform(0.5, 8.0)
+        rows.append((2000 + i, 1, x, y, x + ln * np.cos(ang),
+                     y + ln * np.sin(ang)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seg_id", "traj_id",
+                                    "x1", "y1", "x2", "y2"]))
+
+
+def test_eps_join_split_long_equals_bruteforce(spark):
+    """Long-diagonal adversarial corpus: the split-cover path must produce
+    exactly the brute-force pair set (and the unsplit path's), with no
+    duplicates. Larger ε so long-long and long-short pairs both occur."""
+    rng = np.random.default_rng(3)
+    df = _diag_segment_df(spark, rng)
+    params = IMCParams(eps=12.0, min_lns=3)
+    got = joins.eps_join(df, params, salt=False).toPandas()
+    pdf = df.toPandas()
+    want = brute_pairs(pdf, params.eps)
+    got_set = set(zip(got["a_seg"].tolist(), got["b_seg"].tolist()))
+    assert got_set == want and len(want) > 50
+    assert len(got) == len(got_set)  # no duplicate pairs
+    # the planted classes actually occur: long-long AND long-short pairs
+    lens = dict(zip(pdf["seg_id"],
+                    np.hypot(pdf["x2"] - pdf["x1"], pdf["y2"] - pdf["y1"])))
+    thresh = 4.0 * params.join_cell
+    classes = {(lens[a] > thresh) + (lens[b] > thresh) for a, b in want}
+    assert {1, 2} <= classes
+    # unsplit (full-bbox) path agrees too
+    unsplit = joins.eps_join(df, params, salt=False, split_factor=0).toPandas()
+    assert set(zip(unsplit["a_seg"], unsplit["b_seg"])) == want
+    # salted split path agrees as well
+    salted = joins.eps_join(df, params, salt=True).toPandas()
+    assert set(zip(salted["a_seg"], salted["b_seg"])) == want
+
+
+def test_split_cover_linear_in_length(spark):
+    """Cover rows must grow ~linearly with diagonal segment length (the
+    full-bbox cover grows quadratically): 4x the length must cost well
+    under 16x the cells — and under ~8x (linear plus constants)."""
+    params = IMCParams(eps=1.2, min_lns=3)
+    g = params.join_cell
+    r = params.gap_bound / 2.0
+    thresh = 4.0 * g
+
+    def n_cover(length):
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 0.0, 0.0, length / np.sqrt(2),
+                           length / np.sqrt(2))],
+                         columns=["seg_id", "x1", "y1", "x2", "y2"]))
+        return joins._split_bbox_cover(df, g, r, thresh).count()
+
+    n1, n4 = n_cover(200.0), n_cover(800.0)
+    assert n4 < 8 * n1, (n1, n4)
+    # sanity: the full-bbox cover IS quadratic on the same input
+    def n_full(length):
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 0.0, 0.0, length / np.sqrt(2),
+                           length / np.sqrt(2))],
+                         columns=["seg_id", "x1", "y1", "x2", "y2"]))
+        return joins._bbox_cover(df, g, r).count()
+    assert n_full(800.0) > 10 * n_full(200.0)
