@@ -1,0 +1,74 @@
+"""Structured-Streaming ingest (SURVEY.md §2.10).
+
+The batch operators serve a streaming source UNCHANGED: pages arriving in
+a directory are read with `readStream` and each micro-batch folds into the
+existing pipeline output through `foreachBatch(run_incremental)` — the
+same snapshot-diff merge the batch `--incremental` CLI uses, so a stream
+of crawl deltas and a sequence of batch runs produce bit-identical tables
+(test-gated: two micro-batches ≡ one full batch recompute).
+
+The first micro-batch against an empty output dir runs the full pipeline;
+every later one recomputes only the venues its pages touch. Checkpointing
+is two-layer: Spark's streaming checkpoint (source offsets — which files
+were consumed) plus the pipeline's own stage manifests (which venue
+partitions are committed); a replayed micro-batch is idempotent because
+run_incremental's url-replacement contract makes folding the same batch
+twice a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from imc import manifest, pipeline
+from imc.config import IMCParams
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def _initialized(out_dir: str) -> bool:
+    try:
+        return bool(manifest.read_manifest(os.path.join(out_dir, "points"))
+                    .get("committed"))
+    except (OSError, ValueError):
+        return False
+
+
+def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
+                 checkpoint_dir: str, params: IMCParams | None = None,
+                 max_files_per_trigger: int | None = None):
+    """Fold pages parquet files appearing under input_dir into the pipeline
+    output as they arrive. Runs with Trigger.AvailableNow — processes every
+    unconsumed file then stops — so callers (and crons) invoke it per wave;
+    a long-lived deployment would swap the trigger for a processing-time
+    one, nothing else changes. Returns the finished StreamingQuery."""
+    params = params or IMCParams()
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if _initialized(out_dir):
+            pipeline.run_incremental(spark, batch_df, out_dir, params)
+        else:
+            pipeline.run(spark, batch_df, out_dir, params)
+
+    q = (stream.writeStream
+         .foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
