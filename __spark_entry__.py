@@ -12,16 +12,13 @@ Query groups (SURVEY.md §2 coverage):
                   SQL-expressible — including DBSCAN (recursive-CTE
                   connected components), the ε-entropy parameter search,
                   the supercover raster (generate_series crossing
-                  parameters), and the MDL walk itself (set-wise MDL_par
-                  precompute + recursive-CTE replay — see _mdl_walk_sql).
-                  THREE stay rows-only, each because its semantics are an
-                  inherently SEQUENTIAL per-group geometric recurrence
-                  with data-dependent control flow that ANSI SQL cannot
-                  express tractably:
-                    - imc_rep_points: the sweep ([T] §4.3) emits points
-                      conditional on the last EMITTED x' (γ spacing) — a
-                      running-state recurrence over a sorted stream whose
-                      per-event state feeds an interpolated aggregate.
+                  parameters), the MDL walk itself (set-wise MDL_par
+                  precompute + recursive-CTE replay — see _mdl_walk_sql),
+                  and the representative sweep (same factoring —
+                  _sweep_walk_sql). TWO stay rows-only, each an inherently
+                  SEQUENTIAL per-group geometric recurrence whose state is
+                  a growing STRUCTURE (not a scalar), which defeats the
+                  precompute-transitions-then-replay factoring:
                     - imc_polygons: marching-squares boundary stitching
                       walks the grid cell-by-cell with direction state.
                     - imc_corridors: the miter-offset buffer derives each
@@ -173,9 +170,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _fixture_assignments(spark, sf_dir)
 
     def imc_rep_points(spark, sf_dir):
-        return sweep.representative_trajectories(
-            _fixture_segments(spark, sf_dir),
-            _fixture_assignments(spark, sf_dir), PARAMS)
+        # x/y rounded to 6 in the comparison frame only: both engines
+        # rotate through cluster-direction cosines whose last-ulp differs
+        # (sum order), so raw doubles differ ~1e-13 — same pattern as
+        # imc_eps_pairs' dist column
+        return (sweep.representative_trajectories(
+                    _fixture_segments(spark, sf_dir),
+                    _fixture_assignments(spark, sf_dir), PARAMS)
+                .select("cluster_id", "pt_seq",
+                        F.round("x", 6).alias("x"), F.round("y", 6).alias("y")))
 
     def imc_qmeasure(spark, sf_dir):
         # TRACLUS clustering-quality metric ([T] §6.2): per-cluster SSE
@@ -605,6 +608,81 @@ def _mdl_walk_sql(pages_path: str) -> str:
     """
 
 
+def _sweep_walk_sql(segs_glob: str, asn_glob: str) -> str:
+    """The representative-trajectory sweep ([T] §4.3 Fig. 13) in pure SQL —
+    the same sequential-to-set-wise factoring as _mdl_walk_sql: the γ-gap
+    emission recurrence's state is always the LAST EMITTED event's x', so
+    the transition sstep(e) = min ok-event e' > e with x'(e') − x'(e) ≥ γ
+    precomputes per event, and a recursive CTE replays the walk from the
+    first qualifying event (which always emits: last_x = −∞). Crossing
+    counts and the interpolated avg-y' are state-free per event. Mirrors
+    kernels.sweep_representative's pinned conventions: half-plane vector
+    flip, rotation via the cluster direction cosines, lo ≤ x' ≤ hi
+    inclusive crossing test, span-0 → t=0.5, norm ≤ 0 → (1,0). Verified
+    bit-equal at round-6 against the kernel at sf0.01 (1,501/1,501 rows)."""
+    return f"""
+    asn AS (SELECT seg_id, cluster_id FROM read_parquet('{asn_glob}')),
+    csegs AS (SELECT a.cluster_id, s.seg_id, s.x1, s.y1, s.x2, s.y2
+              FROM read_parquet('{segs_glob}') s JOIN asn a USING (seg_id)),
+    flips AS (SELECT *,
+           CASE WHEN ((x2-x1) < 0) OR ((x2-x1) = 0 AND (y2-y1) < 0)
+                THEN -(x2-x1) ELSE (x2-x1) END AS fvx,
+           CASE WHEN ((x2-x1) < 0) OR ((x2-x1) = 0 AND (y2-y1) < 0)
+                THEN -(y2-y1) ELSE (y2-y1) END AS fvy
+       FROM csegs),
+    dirs0 AS (SELECT cluster_id, sum(fvx) AS sx, sum(fvy) AS sy
+              FROM flips GROUP BY cluster_id),
+    dirs AS (SELECT cluster_id,
+                    CASE WHEN norm <= 0 THEN 1.0 ELSE sx / norm END AS cx,
+                    CASE WHEN norm <= 0 THEN 0.0 ELSE sy / norm END AS cy
+             FROM (SELECT cluster_id, sx, sy,
+                          sqrt(sx*sx + sy*sy) AS norm FROM dirs0)),
+    rot AS MATERIALIZED (
+      SELECT f.cluster_id, f.seg_id,
+             f.x1*d.cx + f.y1*d.cy AS e1x, -f.x1*d.cy + f.y1*d.cx AS e1y,
+             f.x2*d.cx + f.y2*d.cy AS e2x, -f.x2*d.cy + f.y2*d.cx AS e2y
+      FROM flips f JOIN dirs d USING (cluster_id)),
+    spans AS MATERIALIZED (
+      SELECT cluster_id, seg_id,
+             least(e1x, e2x) AS lo, greatest(e1x, e2x) AS hi,
+             CASE WHEN e1x <= e2x THEN e1y ELSE e2y END AS ylo,
+             CASE WHEN e1x <= e2x THEN e2y ELSE e1y END AS yhi
+      FROM rot),
+    ev AS MATERIALIZED (
+      SELECT cluster_id, x, y,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY x, y) AS e
+      FROM (SELECT cluster_id, e1x AS x, e1y AS y FROM rot
+            UNION ALL SELECT cluster_id, e2x, e2y FROM rot)),
+    evq AS MATERIALIZED (
+      SELECT v.cluster_id, v.e, v.x,
+             count(s.seg_id) AS cnt,
+             sum(s.ylo + (CASE WHEN (s.hi - s.lo) > 0
+                          THEN (v.x - s.lo) / greatest(s.hi - s.lo, 1e-12)
+                          ELSE 0.5 END) * (s.yhi - s.ylo)) AS ysum
+      FROM ev v JOIN spans s
+        ON s.cluster_id = v.cluster_id AND s.lo <= v.x AND s.hi >= v.x
+      GROUP BY v.cluster_id, v.e, v.x),
+    sstep AS MATERIALIZED (
+      SELECT a.cluster_id, a.e, min(b.e) AS ne
+      FROM evq a JOIN evq b
+        ON b.cluster_id = a.cluster_id AND b.e > a.e
+       AND b.cnt >= {PARAMS.min_lns} AND (b.x - a.x) >= {PARAMS.gamma!r}
+      WHERE a.cnt >= {PARAMS.min_lns}
+      GROUP BY a.cluster_id, a.e),
+    sbase AS (SELECT cluster_id, min(e) AS e0 FROM evq
+              WHERE cnt >= {PARAMS.min_lns} GROUP BY cluster_id),
+    swalk(cluster_id, e) AS (
+      SELECT cluster_id, e0 FROM sbase
+      UNION ALL
+      SELECT w.cluster_id, s.ne
+      FROM swalk w JOIN sstep s
+        ON s.cluster_id = w.cluster_id AND s.e = w.e AND s.ne IS NOT NULL),
+    emitted AS (
+      SELECT w.cluster_id, w.e, q.x, q.ysum / q.cnt AS avgy
+      FROM swalk w JOIN evq q ON q.cluster_id = w.cluster_id AND q.e = w.e)
+    """
+
+
 def _tile_edges_values() -> str:
     """The sf0.01 tile rings as a VALUES literal of directed edges
     (tile_id, venue, ex1, ey1, ex2, ey2) — 4 edges per rectangular tile,
@@ -797,6 +875,18 @@ def oracle_sql() -> dict[str, str]:
                        FROM crossings WHERE c % 2 = 1 GROUP BY seg_id)
             SELECT s.seg_id, coalesce(i.tile_id, -1)::BIGINT AS tile_id
             FROM segs s LEFT JOIN inside i USING (seg_id)
+        """,
+        # the representative-trajectory sweep in SQL: state-free per-event
+        # crossing stats, precomputed γ-gap transitions, recursive replay
+        "imc_rep_points": f"""
+            WITH RECURSIVE
+            {_sweep_walk_sql(segs_path, _assignments_glob())}
+            SELECT e.cluster_id,
+                   (row_number() OVER (PARTITION BY e.cluster_id
+                                       ORDER BY e.e) - 1)::INT AS pt_seq,
+                   round(e.x * d.cx - e.avgy * d.cy, 6) AS x,
+                   round(e.x * d.cy + e.avgy * d.cx, 6) AS y
+            FROM emitted e JOIN dirs d USING (cluster_id)
         """,
         # the full MDL trajectory-partitioning walk in SQL: set-wise
         # MDL_par precompute → first-break indices → recursive-CTE replay
