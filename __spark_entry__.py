@@ -8,24 +8,24 @@ value-hash → CORRECTNESS_r{N}.json).
 Query groups (SURVEY.md §2 coverage):
   * imc_*       — the TRACLUS spatial pipeline operators on the synthetic
                   pages corpus (fixtures/gen_pages.py, derived from sf_dir's
-                  scale). DuckDB-oracled wherever the semantics are
-                  SQL-expressible — including DBSCAN (recursive-CTE
-                  connected components), the ε-entropy parameter search,
-                  the supercover raster (generate_series crossing
-                  parameters), the MDL walk itself (set-wise MDL_par
-                  precompute + recursive-CTE replay — see _mdl_walk_sql),
-                  and the representative sweep (same factoring —
-                  _sweep_walk_sql). TWO stay rows-only, each an inherently
-                  SEQUENTIAL per-group geometric recurrence whose state is
-                  a growing STRUCTURE (not a scalar), which defeats the
-                  precompute-transitions-then-replay factoring:
-                    - imc_polygons: marching-squares boundary stitching
-                      walks the grid cell-by-cell with direction state.
-                    - imc_corridors: the miter-offset buffer derives each
-                      vertex from its neighbors' turn geometry and a
-                      width quantile of the sweep state.
-                  Their exactness is gated by committed golden fixtures
-                  (tests/test_golden.py) + kernel equivalence tests.
+                  scale). EVERY query is DuckDB-oracled (r3): the round-2
+                  "sequential geometry isn't SQL" claim fell to one trick,
+                  sequential-to-set-wise factoring — precompute every
+                  possible step's decision set-wise, then replay the
+                  recurrence with a recursive CTE over pure transitions:
+                    - imc_segments: the MDL walk (_mdl_walk_sql);
+                    - imc_rep_points / imc_corridors: the γ-gap sweep
+                      (_sweep_walk_sql) + spread quantiles;
+                    - imc_assignments: DBSCAN via recursive min-label CC;
+                    - imc_raster: generate_series supercover (_raster_sql);
+                    - imc_polygons: boundary-stitch loops as cycles of a
+                      PURE per-edge successor (the left-most-turn rule
+                      pairs junction edges deterministically), run-based
+                      cell CC, integer shoelace orientation.
+                  Full ring/polyline COORDINATE exactness additionally
+                  stays golden-gated (tests/test_golden.py) — the oracle
+                  frames for corridors/polygons compare width/orientation/
+                  vertex counts, which pin every stitch decision.
   * dedup_* / text_* / media_* / ann_* — web-corpus training-data ops over
                   the driver's documents/embeddings tables, each with an
                   exactly-matching DuckDB oracle.
@@ -192,8 +192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return joins.tile_assignments(segs, gen_pages.all_tiles(n_venues))
 
     def imc_corridors(spark, sf_dir):
-        # rows-only: geometry of the miter buffer isn't ANSI-SQL; shape
-        # invariants are pytest-gated (tests/test_corridors.py)
+        # comparison frame: width + vertex count. Neither needs the miter
+        # geometry itself — width is a median of per-point 0.9-quantile
+        # crossing spreads (sweep state, SQL-able) and the offset ring
+        # always carries exactly 2 x (deduped sweep points) vertices —
+        # so this IS hash-exact-oracle-able; ring coordinate exactness
+        # stays pytest-gated (tests/test_corridors.py shape invariants)
         segs = _fixture_segments(spark, sf_dir)
         assign = _fixture_assignments(spark, sf_dir)
         return (corridors.corridor_polygons(segs, assign, PARAMS)
@@ -608,6 +612,57 @@ def _mdl_walk_sql(pages_path: str) -> str:
     """
 
 
+# lattice key packing for the polygon oracle (bias covers negative cells;
+# 2^20 stride keeps (gx, gy) lexicographic order = key order)
+_KB = 16384
+_KM = 1 << 20
+
+
+def _raster_sql(segs_path: str) -> str:
+    """CTE chain ending in rast(venue, gx, gy, hits) — the supercover
+    traversal mirroring kernels.grid_traverse_batch: grid-line crossing
+    parameters via generate_series, sorted per segment; each positive-width
+    inter-crossing interval's midpoint identifies one traversed cell."""
+    return f"""
+    rs AS (SELECT seg_id, traj_id,
+                  x1 / {PARAMS.raster_cell!r} AS a1,
+                  y1 / {PARAMS.raster_cell!r} AS b1,
+                  x2 / {PARAMS.raster_cell!r} AS a2,
+                  y2 / {PARAMS.raster_cell!r} AS b2
+           FROM read_parquet('{segs_path}')),
+    rg AS (SELECT *, floor(a1)::BIGINT AS ix1, floor(b1)::BIGINT AS iy1,
+                 floor(a2)::BIGINT AS ix2, floor(b2)::BIGINT AS iy2,
+                 (a2 - a1) AS dx, (b2 - b1) AS dy
+          FROM rs),
+    rxc AS (SELECT seg_id, (k::DOUBLE - a1) / dx AS t FROM (
+             SELECT seg_id, a1, dx,
+                    unnest(generate_series(least(ix1, ix2) + 1,
+                                           greatest(ix1, ix2))) AS k
+             FROM rg)),
+    ryc AS (SELECT seg_id, (k::DOUBLE - b1) / dy AS t FROM (
+             SELECT seg_id, b1, dy,
+                    unnest(generate_series(least(iy1, iy2) + 1,
+                                           greatest(iy1, iy2))) AS k
+             FROM rg)),
+    rts AS (SELECT seg_id, t FROM rxc UNION ALL SELECT seg_id, t FROM ryc
+           UNION ALL SELECT seg_id, 0.0 FROM rg
+           UNION ALL SELECT seg_id, 1.0 FROM rg),
+    riv AS (SELECT seg_id,
+                  lag(t) OVER (PARTITION BY seg_id ORDER BY t) AS lo,
+                  t AS hi
+           FROM rts),
+    rmid AS (SELECT seg_id, (lo + hi) / 2.0 AS tm FROM riv
+            WHERE lo IS NOT NULL AND hi > lo),
+    rcells AS (SELECT rg.traj_id,
+                     floor(rg.a1 + m.tm * rg.dx)::INT AS gx,
+                     floor(rg.b1 + m.tm * rg.dy)::INT AS gy
+              FROM rmid m JOIN rg ON rg.seg_id = m.seg_id),
+    rast AS MATERIALIZED (
+      SELECT (traj_id // {VENUE_STRIDE}) AS venue, gx, gy, count(*) AS hits
+      FROM rcells GROUP BY venue, gx, gy)
+    """
+
+
 def _sweep_walk_sql(segs_glob: str, asn_glob: str) -> str:
     """The representative-trajectory sweep ([T] §4.3 Fig. 13) in pure SQL —
     the same sequential-to-set-wise factoring as _mdl_walk_sql: the γ-gap
@@ -876,6 +931,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.seg_id, coalesce(i.tile_id, -1)::BIGINT AS tile_id
             FROM segs s LEFT JOIN inside i USING (seg_id)
         """,
+        # corridor buffers over the sweep walk: per-point spread =
+        # 2 x quantile_cont(0.9) of |y' - avg y'| over crossings, width =
+        # max(median spread, floor), n_vertices = 2 x deduped sweep points
+        # (the miter ring never merges vertices)
+        "imc_corridors": f"""
+            WITH RECURSIVE
+            {_sweep_walk_sql(segs_path, _assignments_glob())},
+            cross2 AS (
+              SELECT w.cluster_id, w.e, q.x, q.cnt, q.ysum,
+                     s.ylo + (CASE WHEN (s.hi - s.lo) > 0
+                              THEN (q.x - s.lo) / greatest(s.hi - s.lo, 1e-12)
+                              ELSE 0.5 END) * (s.yhi - s.ylo) AS yint
+              FROM swalk w
+              JOIN evq q ON q.cluster_id = w.cluster_id AND q.e = w.e
+              JOIN spans s ON s.cluster_id = w.cluster_id
+                          AND s.lo <= q.x AND s.hi >= q.x),
+            spreads AS (
+              SELECT cluster_id, e,
+                     2.0 * quantile_cont(abs(yint - ysum / cnt), 0.9) AS spread
+              FROM cross2 GROUP BY cluster_id, e),
+            outpts AS (
+              SELECT em.cluster_id, em.e,
+                     em.x * d.cx - em.avgy * d.cy AS ox,
+                     em.x * d.cy + em.avgy * d.cx AS oy,
+                     sp.spread
+              FROM emitted em JOIN dirs d USING (cluster_id)
+              JOIN spreads sp ON sp.cluster_id = em.cluster_id
+                             AND sp.e = em.e),
+            dedup2 AS (
+              SELECT * FROM (
+                SELECT *, lag(ox) OVER w2 AS px, lag(oy) OVER w2 AS py
+                FROM outpts WINDOW w2 AS (PARTITION BY cluster_id ORDER BY e))
+              WHERE px IS NULL OR ox <> px OR oy <> py),
+            agg2 AS (
+              SELECT cluster_id, count(*) AS m,
+                     quantile_cont(spread, 0.5) AS med
+              FROM dedup2 GROUP BY cluster_id)
+            SELECT cluster_id,
+                   round(greatest(med, {PARAMS.corridor_min_width!r}), 6)
+                     AS width,
+                   (2 * m)::BIGINT AS n_vertices
+            FROM agg2 WHERE m >= 2
+        """,
         # the representative-trajectory sweep in SQL: state-free per-event
         # crossing stats, precomputed γ-gap transitions, recursive replay
         "imc_rep_points": f"""
@@ -993,42 +1091,107 @@ def oracle_sql() -> dict[str, str]:
         # sorted; each positive-width inter-crossing interval's midpoint
         # identifies one traversed cell; hash-agg hit counts
         "imc_raster": f"""
-            WITH s AS (SELECT seg_id, traj_id,
-                              x1 / {PARAMS.raster_cell!r} AS a1,
-                              y1 / {PARAMS.raster_cell!r} AS b1,
-                              x2 / {PARAMS.raster_cell!r} AS a2,
-                              y2 / {PARAMS.raster_cell!r} AS b2
-                       FROM read_parquet('{segs_path}')),
-            g AS (SELECT *, floor(a1)::BIGINT AS ix1, floor(b1)::BIGINT AS iy1,
-                         floor(a2)::BIGINT AS ix2, floor(b2)::BIGINT AS iy2,
-                         (a2 - a1) AS dx, (b2 - b1) AS dy
-                  FROM s),
-            xc AS (SELECT seg_id, (k::DOUBLE - a1) / dx AS t FROM (
-                     SELECT seg_id, a1, dx,
-                            unnest(generate_series(least(ix1, ix2) + 1,
-                                                   greatest(ix1, ix2))) AS k
-                     FROM g)),
-            yc AS (SELECT seg_id, (k::DOUBLE - b1) / dy AS t FROM (
-                     SELECT seg_id, b1, dy,
-                            unnest(generate_series(least(iy1, iy2) + 1,
-                                                   greatest(iy1, iy2))) AS k
-                     FROM g)),
-            ts AS (SELECT seg_id, t FROM xc UNION ALL SELECT seg_id, t FROM yc
-                   UNION ALL SELECT seg_id, 0.0 FROM g
-                   UNION ALL SELECT seg_id, 1.0 FROM g),
-            iv AS (SELECT seg_id,
-                          lag(t) OVER (PARTITION BY seg_id ORDER BY t) AS lo,
-                          t AS hi
-                   FROM ts),
-            mid AS (SELECT seg_id, (lo + hi) / 2.0 AS tm FROM iv
-                    WHERE lo IS NOT NULL AND hi > lo),
-            cells AS (SELECT g.traj_id,
-                             floor(g.a1 + m.tm * g.dx)::INT AS gx,
-                             floor(g.b1 + m.tm * g.dy)::INT AS gy
-                      FROM mid m JOIN g ON g.seg_id = m.seg_id)
-            SELECT (traj_id // {VENUE_STRIDE}) AS venue, gx, gy,
-                   count(*) AS hits
-            FROM cells GROUP BY venue, gx, gy
+            WITH {_raster_sql(segs_path)}
+            SELECT venue, gx, gy, hits FROM rast
+        """,
+        # raster→vector polygon extraction in SQL: the boundary stitch's
+        # successor is a PURE per-edge function (left-most-turn at
+        # checkerboard junctions pairs in/out edges deterministically), so
+        # loops are cycles of a precomputed succ graph (recursive closure);
+        # components come from vertical-run CC; poly_id = dense rank of the
+        # component's lex-min cell (the scan-order label); is_outer =
+        # integer shoelace sign; n_vertices = direction changes (the
+        # collinear collapse keeps exactly the corner vertices)
+        "imc_polygons": f"""
+            WITH RECURSIVE
+            {_raster_sql(segs_path)},
+            occ AS MATERIALIZED (
+              SELECT venue, gx::BIGINT AS gx, gy::BIGINT AS gy
+              FROM rast WHERE hits >= {PARAMS.raster_threshold}),
+            runs AS MATERIALIZED (
+              SELECT venue, gx, min(gy) AS glo, max(gy) AS ghi,
+                     ((gx + {_KB}) * {_KM} + (min(gy) + {_KB})) AS rk
+              FROM (SELECT *, gy - (row_number() OVER (
+                        PARTITION BY venue, gx ORDER BY gy)) AS grp
+                    FROM occ)
+              GROUP BY venue, gx, grp),
+            radj AS MATERIALIZED (
+              SELECT a.venue, a.rk AS ka, b.rk AS kb
+              FROM runs a JOIN runs b
+                ON b.venue = a.venue AND abs(b.gx - a.gx) = 1
+               AND b.glo <= a.ghi AND b.ghi >= a.glo),
+            rreach(venue, rk, r) AS (
+              SELECT venue, rk, rk FROM runs
+              UNION
+              SELECT rr.venue, rr.rk, a.kb FROM rreach rr
+              JOIN radj a ON a.venue = rr.venue AND a.ka = rr.r),
+            rcomp AS MATERIALIZED (
+              SELECT venue, rk, min(r) AS ck FROM rreach
+              GROUP BY venue, rk),
+            cellc AS MATERIALIZED (
+              SELECT o.venue, o.gx, o.gy, rc.ck
+              FROM occ o
+              JOIN runs r ON r.venue = o.venue AND r.gx = o.gx
+                         AND o.gy BETWEEN r.glo AND r.ghi
+              JOIN rcomp rc ON rc.venue = r.venue AND rc.rk = r.rk),
+            pid AS MATERIALIZED (
+              SELECT venue, ck,
+                     dense_rank() OVER (PARTITION BY venue
+                                        ORDER BY ck)::INT AS poly_id
+              FROM (SELECT DISTINCT venue, ck FROM cellc)),
+            bedges AS MATERIALIZED (
+              SELECT c.venue, c.ck,
+                     CASE d.i WHEN 0 THEN c.gx     WHEN 1 THEN c.gx + 1
+                              WHEN 2 THEN c.gx     ELSE c.gx + 1 END AS sx,
+                     CASE d.i WHEN 0 THEN c.gy + 1 WHEN 1 THEN c.gy
+                              WHEN 2 THEN c.gy     ELSE c.gy + 1 END AS sy,
+                     CASE d.i WHEN 0 THEN 0  WHEN 1 THEN 0
+                              WHEN 2 THEN 1  ELSE -1 END AS dx,
+                     CASE d.i WHEN 0 THEN -1 WHEN 1 THEN 1
+                              WHEN 2 THEN 0  ELSE 0 END AS dy
+              FROM cellc c, (VALUES (0), (1), (2), (3)) d(i)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM occ n
+                WHERE n.venue = c.venue
+                  AND n.gx = c.gx + CASE d.i WHEN 0 THEN -1
+                                             WHEN 1 THEN 1 ELSE 0 END
+                  AND n.gy = c.gy + CASE d.i WHEN 2 THEN -1
+                                             WHEN 3 THEN 1 ELSE 0 END)),
+            beid AS MATERIALIZED (
+              SELECT *, sx + dx AS ex, sy + dy AS ey,
+                     (((sx + {_KB}) * {_KM} + (sy + {_KB})) * 4
+                      + CASE WHEN dx = 1 THEN 0 WHEN dx = -1 THEN 1
+                             WHEN dy = 1 THEN 2 ELSE 3 END) AS id
+              FROM bedges),
+            bsucc AS MATERIALIZED (
+              SELECT e.venue, e.id, e.ck, e.sx, e.sy, e.ex, e.ey,
+                     e.dx, e.dy, f.id AS nid, f.dx AS ndx, f.dy AS ndy
+              FROM beid e JOIN beid f
+                ON f.venue = e.venue AND f.sx = e.ex AND f.sy = e.ey
+              QUALIFY row_number() OVER (
+                PARTITION BY e.venue, e.id
+                ORDER BY CASE WHEN (f.dx, f.dy) = (-e.dy, e.dx) THEN 0
+                              WHEN (f.dx, f.dy) = (e.dx, e.dy) THEN 1
+                              ELSE 2 END) = 1),
+            lreach(venue, id, r) AS (
+              SELECT venue, id, id FROM bsucc
+              UNION
+              SELECT lr.venue, lr.id, s.nid FROM lreach lr
+              JOIN bsucc s ON s.venue = lr.venue AND s.id = lr.r),
+            lid AS (SELECT venue, id, min(r) AS loop_id FROM lreach
+                    GROUP BY venue, id),
+            loops AS (
+              SELECT l.venue, l.loop_id, min(s.ck) AS ck,
+                     sum(s.sx * s.ey - s.ex * s.sy) AS area2,
+                     sum(CASE WHEN s.ndx <> s.dx OR s.ndy <> s.dy
+                              THEN 1 ELSE 0 END) AS n_vertices
+              FROM lid l JOIN bsucc s
+                ON s.venue = l.venue AND s.id = l.id
+              GROUP BY l.venue, l.loop_id)
+            SELECT lo.venue, p.poly_id, (lo.area2 > 0) AS is_outer,
+                   lo.n_vertices::BIGINT AS n_vertices
+            FROM loops lo JOIN pid p
+              ON p.venue = lo.venue AND p.ck = lo.ck
         """,
         "dedup_simhash": f"""
             WITH {_simhash_cte()}
