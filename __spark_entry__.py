@@ -283,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.embedding_dup_pairs(_tbl(spark, sf_dir, "embeddings"),
                                               threshold=0.45, bits=6, tables=4)
 
+    def ann_topk_ivf(spark, sf_dir):
+        # n_lists sizes the inverted lists (~n/n_lists vectors each);
+        # n_probe trades recall for probe cost — a 10^9-row corpus wants
+        # n_lists ~ sqrt(n) with the same sampled-seed quantizer
+        return similarity.ann_topk_ivf(_tbl(spark, sf_dir, "embeddings"),
+                                       k=5, probe_mod=50,
+                                       n_lists=16, n_probe=4)
+
     def ann_topk_lsh_multi(spark, sf_dir):
         # bits sizes bucket occupancy (≈ n/2^bits per table): 12 bits at
         # the 500-row correctness scale; a 10^9-row corpus wants 20-24
@@ -299,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_langid=text_langid, text_fingerprint=text_fingerprint,
              media_metadata=media_metadata,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
+             ann_topk_ivf=ann_topk_ivf,
              ann_topk_lsh_multi=ann_topk_lsh_multi,
              dedup_embcos_pairs=dedup_embcos_pairs)
 
@@ -1340,6 +1349,43 @@ def oracle_sql() -> dict[str, str]:
                         JOIN embeddings eb ON eb.vec_id = c.b_id
             WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
                                                eb.embedding::DOUBLE[]), 6) >= 0.45
+        """,
+        "ann_topk_ivf": f"""
+            WITH seeds AS (
+              SELECT vec_id AS list_id, embedding AS c_emb
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            ascored AS (
+              SELECT e.vec_id, e.embedding, s.list_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  s.c_emb::DOUBLE[]), 6)
+                       AS a_cos
+              FROM embeddings e CROSS JOIN seeds s),
+            aranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY a_cos DESC, list_id) AS lrank
+              FROM ascored),
+            lists AS (SELECT vec_id, list_id FROM aranked WHERE lrank = 1),
+            probes AS (SELECT vec_id AS query_id, list_id FROM aranked
+                       WHERE vec_id % 50 = 0 AND lrank <= 4),
+            cand AS (
+              SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+              FROM probes p JOIN lists l USING (list_id)
+              WHERE l.vec_id <> p.query_id),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(qa.embedding::DOUBLE[],
+                                                  qb.embedding::DOUBLE[]), 6)
+                       AS score
+              FROM cand c JOIN embeddings qa ON qa.vec_id = c.query_id
+                          JOIN embeddings qb ON qb.vec_id = c.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id)
+                       AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, score, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "ann_topk_lsh_multi": f"""
             WITH mb AS ({_lsh_multi_bucket_sql(12, 4)}),

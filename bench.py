@@ -116,6 +116,7 @@ def run_suite(spark, sf_dir: str, pages_path: str, pages_sf: float):
     timed("ann_topk", lambda: similarity.ann_topk_bruteforce(emb, 5, 50).count())
     timed("ann_lsh_multi",
           lambda: similarity.ann_topk_lsh_multi(emb, 5, 50).count())
+    timed("ann_ivf", lambda: similarity.ann_topk_ivf(emb, 5, 50).count())
 
     points.unpersist()
     return timings, counts

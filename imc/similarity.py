@@ -183,6 +183,57 @@ def ann_topk_lsh_multi(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
             .select("query_id", "neighbor_id", "score", "rank"))
 
 
+def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
+                 n_lists: int = 16, n_probe: int = 4) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the OTHER scale
+    path next to multi-table LSH: a coarse quantizer partitions vectors
+    into n_lists Voronoi lists; probes search only their n_probe nearest
+    lists' vectors, exact-refined.
+
+    The quantizer is sampled-seed (the n_lists smallest vec_ids' own
+    vectors — FAISS-style sampled training without the k-means loop): seed
+    vectors are exact data copies, so the Spark and DuckDB twins share
+    them bit-for-bit and the whole index is hash-exact-oracle-able.
+    Assignment ranks on (round(cos, 6) DESC, list_id) — deterministic
+    across engines.
+
+    100 TB posture: seeds are a tiny broadcast; assignment is one
+    map-side pass (no shuffle); the candidate join shuffles by list_id —
+    the IVF point: per-probe work is n_probe/n_lists of the corpus, and
+    a hot list salts exactly like a hot ε-join cell if needed."""
+    seeds = (embeddings.orderBy("vec_id").limit(n_lists)
+             .select(F.col("vec_id").alias("list_id"),
+                     F.col("embedding").alias("c_emb")))
+    scored = (embeddings.select("vec_id", "embedding")
+              .crossJoin(F.broadcast(seeds))
+              .withColumn("a_cos",
+                          F.round(_cos_expr(F.col("embedding"),
+                                            F.col("c_emb")), 6)))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), F.asc("list_id"))
+    ranked = scored.withColumn("lrank", F.row_number().over(w))
+    lists = (ranked.filter(F.col("lrank") == 1)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("b_emb"), "list_id"))
+    probes = (ranked
+              .filter((F.col("vec_id") % probe_mod == 0)
+                      & (F.col("lrank") <= n_probe))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"), "list_id"))
+    cand = (probes.join(lists, "list_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "q_emb", "b_emb")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.asc("neighbor_id"))
+    return (cand
+            .withColumn("score",
+                        F.round(_cos_expr(F.col("q_emb"), F.col("b_emb")), 6))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                         bits: int = 12, tables: int = 4) -> DataFrame:
     """(a_id, b_id, cos) — embedding-cosine near-duplicate detection, the

@@ -51,6 +51,18 @@ def test_lsh_multi_recall_at_production_settings(clustered_emb, brute_truth):
     assert _recall(clustered_emb, brute_truth, bits=16, tables=8) >= 0.9
 
 
+def test_ivf_recall_at_production_settings(clustered_emb, brute_truth):
+    """IVF routes same-cluster vectors to the same nearest seed, so on
+    clustered data recall stays high at a small scan fraction (n_probe /
+    n_lists = 12.5% here)."""
+    got = (similarity.ann_topk_ivf(clustered_emb, k=K, probe_mod=PROBE_MOD,
+                                   n_lists=32, n_probe=4)
+           .toPandas().groupby("query_id")["neighbor_id"].apply(set).to_dict())
+    rec = float(np.mean([len(got.get(q, set()) & s) / len(s)
+                         for q, s in brute_truth.items()]))
+    assert rec >= 0.95
+
+
 def test_lsh_multi_tables_recover_recall(clustered_emb, brute_truth):
     """The design claim behind multi-table LSH: at fixed bits, adding
     tables must strictly help (more bits alone must not)."""
