@@ -8,6 +8,10 @@ Usage:
       [--incremental]   # fold --input as a NEW batch into an existing
                         # --output (snapshot-diff mode: only venues in the
                         # batch recompute; see imc.pipeline.run_incremental)
+      [--stream --checkpoint /path/ck]  # treat --input as a DIRECTORY pages
+                        # files land in: Structured-Streaming readStream +
+                        # foreachBatch(run_incremental), AvailableNow
+                        # trigger (consume everything unprocessed, stop)
 
 The package zip is built by jobs/make_pyfiles.sh; no cluster-side installs.
 Resume: stages whose iceberg-lite manifest matches the content-addressed
@@ -35,7 +39,14 @@ def main(argv=None):
     ap.add_argument("--incremental", action="store_true",
                     help="treat --input as a new batch folded into an "
                          "existing --output (venue-level snapshot diff)")
+    ap.add_argument("--stream", action="store_true",
+                    help="treat --input as a directory pages files land "
+                         "in; consume them via Structured Streaming")
+    ap.add_argument("--checkpoint",
+                    help="streaming checkpoint dir (required with --stream)")
     args = ap.parse_args(argv)
+    if args.stream and not args.checkpoint:
+        ap.error("--stream requires --checkpoint")
 
     from pyspark.sql import SparkSession
 
@@ -49,6 +60,12 @@ def main(argv=None):
              .getOrCreate())
     params = IMCParams(eps=args.eps, min_lns=args.min_lns, gamma=args.gamma,
                        salt_buckets=args.salt_buckets)
+    if args.stream:
+        from imc.streaming import stream_pages
+        stream_pages(spark, args.input, args.output, args.checkpoint, params)
+        print(json.dumps({"streamed": True, "output": args.output}))
+        spark.stop()
+        return
     pages = spark.read.parquet(args.input)
     if args.incremental:
         results = run_incremental(spark, pages, args.output, params)
