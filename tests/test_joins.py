@@ -334,3 +334,38 @@ def test_split_cover_linear_in_length(spark):
                          columns=["seg_id", "x1", "y1", "x2", "y2"]))
         return joins._bbox_cover(df, g, r).count()
     assert n_full(800.0) > 10 * n_full(200.0)
+
+
+def test_cell_key_envelope_guard(spark):
+    """Coordinates beyond the 21-bit biased cell domain must FAIL LOUDLY
+    instead of silently aliasing distinct cells (ADVICE r02)."""
+    import pandas as pd
+    from pyspark.errors import SparkRuntimeException
+    far = 6.0e6  # |floor(coord/g)| >= 2^20 at default join_cell
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, 1, far, far, far + 1.0, far + 1.0),
+                      (2, 1, far, far, far + 1.5, far + 0.5)],
+                     columns=["seg_id", "traj_id", "x1", "y1", "x2", "y2"]))
+    with pytest.raises(SparkRuntimeException, match="21-bit"):
+        joins.eps_join(df, PARAMS, salt=False).count()
+
+
+def test_eps_join_plan_shape(spark, seg_df):
+    """Structural plan pins: the all-short path must carry NO aggregation
+    (the PBSM responsible-cell filter replaces the dedupe shuffle, and the
+    limit-1 probe must keep the long-path distinct out of the plan); with
+    a long segment present, exactly the minority-distinct aggregation
+    appears."""
+    plan_short = (joins.eps_join(seg_df, PARAMS, salt=False)
+                  ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Aggregate" not in plan_short
+
+    import pandas as pd
+    long_row = spark.createDataFrame(
+        pd.DataFrame([(999999, 1, 0.0, 0.0, 500.0, 500.0)],
+                     columns=["seg_id", "traj_id", "x1", "y1", "x2", "y2"]))
+    with_long = seg_df.select("seg_id", "traj_id",
+                              "x1", "y1", "x2", "y2").unionByName(long_row)
+    plan_long = (joins.eps_join(with_long, PARAMS, salt=False)
+                 ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Aggregate" in plan_long
