@@ -105,7 +105,10 @@ def main():
     # replace any prior ceilings section in place (ADVICE r02: append mode
     # accumulated duplicate contradictory sections across runs)
     baseline = os.path.join(REPO, "BENCH", "BASELINE.md")
-    header = "## Platform scaling ceilings (this box, measured)"
+    # match on the stable PREFIX: the curated section's header carries a
+    # suffix ("— BENCH/platform_ceiling.py"), and an exact-string match
+    # would miss it and re-append (the r02 drift bug, round 2 of it)
+    header = "## Platform scaling ceilings"
     try:
         with open(baseline) as f:
             text = f.read()
