@@ -161,6 +161,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (joins.eps_join(_fixture_segments(spark, sf_dir), PARAMS)
                 .select("a_seg", "b_seg", F.round("dist", 6).alias("dist")))
 
+    def imc_eps_pairs_hausdorff(spark, sf_dir):
+        # the SAME ε-join operator under its second metric ([B]:6 "exact
+        # Hausdorff/perpendicular-parallel-angular distance refine") —
+        # prefilter completeness holds a fortiori (H ≥ euclidean gap)
+        return (joins.eps_join(_fixture_segments(spark, sf_dir), PARAMS,
+                               metric="hausdorff")
+                .select("a_seg", "b_seg", F.round("dist", 6).alias("dist")))
+
     def imc_knn(spark, sf_dir):
         segs = _fixture_segments(spark, sf_dir)
         return (joins.knn_join(segs, segs, k=3, params=PARAMS)
@@ -226,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(imc_points=imc_points, imc_text_sha=imc_text_sha,
              imc_segments=imc_segments, imc_eps_pairs=imc_eps_pairs,
+             imc_eps_pairs_hausdorff=imc_eps_pairs_hausdorff,
              imc_knn=imc_knn, imc_assignments=imc_assignments,
              imc_rep_points=imc_rep_points,
              imc_tile_assignments=imc_tile_assignments,
@@ -268,6 +277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def media_metadata(spark, sf_dir):
         return multimodal.media_metadata(_tbl(spark, sf_dir, "documents"))
 
+    def media_frames(spark, sf_dir):
+        return multimodal.media_frame_sample(
+            multimodal.documents_as_media(_tbl(spark, sf_dir, "documents")))
+
     def ann_topk(spark, sf_dir):
         return similarity.ann_topk_bruteforce(_tbl(spark, sf_dir, "embeddings"),
                                               k=5, probe_mod=50)
@@ -305,7 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              dedup_simhash_pairs=dedup_simhash_pairs,
              text_tokens=text_tokens, text_quality=text_quality,
              text_langid=text_langid, text_fingerprint=text_fingerprint,
-             media_metadata=media_metadata,
+             media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
              ann_topk_ivf=ann_topk_ivf,
              ann_topk_lsh_multi=ann_topk_lsh_multi,
@@ -747,6 +760,29 @@ def _sweep_walk_sql(segs_glob: str, asn_glob: str) -> str:
     """
 
 
+def _pt_seg_sql(px: str, py: str, x1: str, y1: str, x2: str, y2: str) -> str:
+    """Point→segment distance as a SQL expression string — mirrors
+    joins._pt_seg_dist_expr term-for-term (zero-length guard, t clamp)."""
+    ux, uy = f"({x2} - {x1})", f"({y2} - {y1})"
+    ll2 = f"({ux}*{ux} + {uy}*{uy})"
+    t0 = (f"(CASE WHEN {ll2} > 0 THEN (({px} - {x1})*{ux} + ({py} - {y1})*{uy})"
+          f" / greatest({ll2}, 1e-12) ELSE 0.0 END)")
+    t = f"least(greatest({t0}, 0.0), 1.0)"
+    dx = f"({px} - ({x1} + {t}*{ux}))"
+    dy = f"({py} - ({y1} + {t}*{uy}))"
+    return f"sqrt({dx}*{dx} + {dy}*{dy})"
+
+
+def _hausdorff_sql() -> str:
+    """Segment Hausdorff distance over (ax1..by2) columns — max of the four
+    endpoint→other-segment distances (joins.hausdorff_dist_expr twin)."""
+    return ("greatest("
+            + _pt_seg_sql("ax1", "ay1", "bx1", "by1", "bx2", "by2") + ", "
+            + _pt_seg_sql("ax2", "ay2", "bx1", "by1", "bx2", "by2") + ", "
+            + _pt_seg_sql("bx1", "by1", "ax1", "ay1", "ax2", "ay2") + ", "
+            + _pt_seg_sql("bx2", "by2", "ax1", "ay1", "ax2", "ay2") + ")")
+
+
 def _tile_edges_values() -> str:
     """The sf0.01 tile rings as a VALUES literal of directed edges
     (tile_id, venue, ex1, ey1, ex2, ey2) — 4 edges per rectangular tile,
@@ -878,6 +914,18 @@ def oracle_sql() -> dict[str, str]:
             {_traclus_chain().replace('FROM cand', 'FROM pre', 1)}
             SELECT a_seg, b_seg, round(d_perp + d_par + d_ang, 6) AS dist
             FROM m6 WHERE d_perp + d_par + d_ang <= {PARAMS.eps!r}
+        """,
+        "imc_eps_pairs_hausdorff": f"""
+            WITH s AS (SELECT seg_id, x1, y1, x2, y2
+                       FROM read_parquet('{segs_path}')),
+            cand AS (
+              SELECT a.seg_id AS a_seg, b.seg_id AS b_seg,
+                     {seg_cols_a}, {seg_cols_b}
+              FROM s a JOIN s b ON a.seg_id < b.seg_id),
+            pre AS (SELECT * FROM cand WHERE {bbox_gap2} <= {gap2!r}),
+            hd AS (SELECT a_seg, b_seg, {_hausdorff_sql()} AS dist FROM pre)
+            SELECT a_seg, b_seg, round(dist, 6) AS dist
+            FROM hd WHERE dist <= {PARAMS.eps!r}
         """,
         "imc_knn": f"""
             WITH s AS (SELECT seg_id, x1, y1, x2, y2
@@ -1300,6 +1348,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        # frame sampling over the blob adapter; char slicing == byte
+        # slicing because the driver corpus is pure ASCII (asserted when
+        # this oracle was written — a multibyte corpus would need blob
+        # slicing, which DuckDB lacks)
+        "media_frames": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0, (length(text) - 1) // 256))
+                       AS frame_no
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, frame_no::INT AS frame_no,
+                   octet_length(encode(substring(text, frame_no * 256 + 1,
+                                                 256)))::BIGINT AS n_bytes,
+                   sha256(substring(text, frame_no * 256 + 1, 256))
+                     AS sha256
+            FROM f WHERE frame_no % 2 = 0
         """,
         "ann_topk": f"""
             WITH probes AS (

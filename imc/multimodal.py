@@ -76,6 +76,40 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"))
 
 
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_no", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sha256", T.StringType()),
+])
+
+
+def media_frame_sample(media: DataFrame, frame_bytes: int = 256,
+                       stride: int = 2) -> DataFrame:
+    """Frame sampling: chunk each payload into fixed-size byte frames and
+    keep every `stride`-th — the video/audio frame-sample plumbing (the
+    decode itself stays stubbed). At 100 TB the point is the dataflow:
+    one input row fans out to many frame rows inside mapInPandas (Arrow
+    batches in, a frame table out), each of which a real decoder task
+    would consume; schema, fan-out shape, and determinism are exercised
+    for real and oracled."""
+    def _frames(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) - 1) // frame_bytes + 1 if data else 0
+                for i in range(0, n_frames, stride):
+                    chunk = data[i * frame_bytes:(i + 1) * frame_bytes]
+                    rows.append((int(doc_id), i, len(chunk),
+                                 hashlib.sha256(chunk).hexdigest()))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "frame_no",
+                                        "n_bytes", "sha256"])
+
+    return media.mapInPandas(_frames, FRAMES_SCHEMA)
+
+
 def media_metadata(documents: DataFrame) -> DataFrame:
     """SQL-expressible slice of the multimodal output (n_bytes + sha256) —
     this is what the DuckDB oracle checks; the feature vector itself is
