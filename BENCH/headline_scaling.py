@@ -114,21 +114,8 @@ def main():
         f"ceiling above for the engine-attributable number).",
         "",
     ]
-    # replace any prior section in place (same drift fix as
-    # platform_ceiling.py — append mode accumulated duplicate sections)
-    baseline = os.path.join(REPO, "BENCH", "BASELINE.md")
-    header = "## Headline operator at compute-dominated scale"
-    try:
-        with open(baseline) as f:
-            text = f.read()
-    except OSError:
-        text = ""
-    if header in text:
-        head, _, rest = text.partition(header)
-        nxt = rest.find("\n## ")
-        text = head.rstrip("\n") + ("\n" + rest[nxt + 1:] if nxt >= 0 else "\n")
-    with open(baseline, "w") as f:
-        f.write(text.rstrip("\n") + "\n" + "\n".join(lines))
+    from _md import replace_section
+    replace_section("## Headline operator at compute-dominated scale", lines)
     print(json.dumps({"headline_efficiency": eff,
                       "lo": lo, "hi": hi}))
 

@@ -102,25 +102,8 @@ def main():
         "bound what raw single-box efficiency can show.",
         "",
     ]
-    # replace any prior ceilings section in place (ADVICE r02: append mode
-    # accumulated duplicate contradictory sections across runs)
-    baseline = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # match on the stable PREFIX: the curated section's header carries a
-    # suffix ("— BENCH/platform_ceiling.py"), and an exact-string match
-    # would miss it and re-append (the r02 drift bug, round 2 of it)
-    header = "## Platform scaling ceilings"
-    try:
-        with open(baseline) as f:
-            text = f.read()
-    except OSError:
-        text = ""
-    if header in text:
-        head, _, rest = text.partition(header)
-        # the old section runs until the next "## " heading (or EOF)
-        nxt = rest.find("\n## ")
-        text = head.rstrip("\n") + ("\n" + rest[nxt + 1:] if nxt >= 0 else "\n")
-    with open(baseline, "w") as f:
-        f.write(text.rstrip("\n") + "\n" + "\n".join(lines))
+    from _md import replace_section
+    replace_section("## Platform scaling ceilings", lines)
     print(json.dumps(res))
 
 

@@ -283,7 +283,8 @@ def _hot_cells(segs: DataFrame, g: float, r: float, factor: float) -> DataFrame:
 
 def eps_join(segments: DataFrame, params: IMCParams | None = None,
              salt: bool = True, metric: str = "traclus",
-             split_factor: float = 4.0) -> DataFrame:
+             split_factor: float = 4.0,
+             has_long: bool | None = None) -> DataFrame:
     """All pairs (a_seg < b_seg) with distance ≤ ε.
 
     Returns eps_pairs(a_seg BIGINT, b_seg BIGINT, dist DOUBLE) — itself a
@@ -297,6 +298,14 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     long segment dedupe by distinct on (a, b) instead of the responsible
     cell, bounded to that minority. split_factor=0 disables the split
     (full-bbox covers for everything, the pre-r3 plan).
+
+    has_long=None (default) PROBES the input for long segments at plan
+    construction time — a column-pruned pass over the coordinate columns
+    (limit-1 short-circuits as soon as one long segment appears; an
+    all-short table is scanned fully once to prove it). Callers that know
+    their corpus — the pipeline after MDL partitioning, a repeated-ε
+    parameter sweep — can pass has_long=False/True to skip the probe and
+    keep plan construction fully lazy.
     """
     params = params or IMCParams()
     g = params.join_cell
@@ -304,14 +313,13 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     r = gap / 2.0
     segs = _ensure_parallelism(segments.select("seg_id", *_COORDS))
 
-    # long-segment probe: one column-pruned limit-1 scan. When no segment
-    # exceeds the split threshold — every MDL-partitioned corpus — the plan
-    # below is EXACTLY the single-join PBSM plan, zero overhead. Only a
-    # corpus actually containing long segments pays for the second join.
     ln = _hyp(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
     thresh = split_factor * g
-    has_long = (split_factor > 0
-                and not segs.filter(ln > F.lit(thresh)).isEmpty())
+    if has_long is None:
+        has_long = (split_factor > 0
+                    and not segs.filter(ln > F.lit(thresh)).isEmpty())
+    else:
+        has_long = has_long and split_factor > 0
     short = segs.filter(ln <= F.lit(thresh)) if has_long else segs
     cov = _bbox_cover(short, g, r)
 

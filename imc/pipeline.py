@@ -100,9 +100,10 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
     # collected once and shipped in the UDF closure); beyond the threshold
     # the driver leaves the path entirely: venue-cogrouped PIP, where each
     # venue's rings meet its segments inside one applyInPandas task.
-    n_polys = manifest.read_manifest(results["polygons"][0]).get(
-        "row_count", 0)
-    if n_polys <= TILE_BROADCAST_LIMIT:
+    # count the actual broadcast payload (outer rings = tiles), not the
+    # polygons row count (which includes hole rings)
+    n_tiles = _tiles_df_from_polygons(polys).count()
+    if n_tiles <= TILE_BROADCAST_LIMIT:
         ta = joins.tile_assignments(segs, _tiles_from_polygons(polys))
     else:
         ta = joins.tile_assignments_cogrouped(segs, _tiles_df_from_polygons(polys))
@@ -179,11 +180,25 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     results: dict[str, tuple[str, str]] = {}
     venue_col = (F.col("traj_id") / VENUE_STRIDE).cast("long").alias("venue")
 
-    prev = {name: manifest.read_manifest(os.path.join(out_dir, name))
-            for name in ("points", "segments", "eps_pairs", "assignments",
-                         "rep_points", "corridors", "raster", "polygons",
-                         "tile_assignments")}
+    prev = {}
+    for name in ("points", "segments", "eps_pairs", "assignments",
+                 "rep_points", "corridors", "raster", "polygons",
+                 "tile_assignments"):
+        try:
+            prev[name] = manifest.read_manifest(os.path.join(out_dir, name))
+        except OSError as e:
+            raise ValueError(
+                f"stage '{name}' has no manifest — the base output is "
+                f"incomplete (an initial run was interrupted); rerun the "
+                f"full pipeline over the base input (resume completes the "
+                f"missing stages) before folding new batches") from e
     for name, m in prev.items():
+        if not m.get("committed"):
+            raise ValueError(
+                f"stage '{name}' has an in-flight (uncommitted) snapshot — "
+                f"a prior run was interrupted mid-overwrite; restore the "
+                f"previous snapshot (a real Iceberg rollback) or rerun the "
+                f"full pipeline before folding new batches")
         if m.get("params_hash") != ph:
             raise ValueError(
                 f"incremental run params (hash {ph}) do not match the "
@@ -257,6 +272,35 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         segments.mdl_segments(in_aff(points)).withColumn("venue", venue_col))
     segs_aff = in_aff(segs).localCheckpoint(eager=True)
 
+    # venue-locality guard (review r03): the per-venue pair/component merge
+    # below is exact ONLY when no ε-pair can span an affected and an
+    # unaffected venue. That is a DATA property (venues are far apart), so
+    # enforce it loudly instead of assuming: any unaffected segment whose
+    # bbox comes within gap_bound of an affected venue's extent could form
+    # a cross-venue pair (or chain a DBSCAN component across venues),
+    # which this merge cannot express. One broadcast-NLJ pass over the
+    # segments table against |delta venues| tiny extent rows.
+    gb = params.gap_bound
+    ext = (segs_aff.groupBy("venue")
+           .agg((F.min(F.least("x1", "x2")) - gb).alias("gx0"),
+                (F.max(F.greatest("x1", "x2")) + gb).alias("gx1"),
+                (F.min(F.least("y1", "y2")) - gb).alias("gy0"),
+                (F.max(F.greatest("y1", "y2")) + gb).alias("gy1"))
+           .drop("venue"))
+    near = (in_aff(segs, anti=True)
+            .crossJoin(F.broadcast(ext))
+            .filter((F.least("x1", "x2") <= F.col("gx1"))
+                    & (F.greatest("x1", "x2") >= F.col("gx0"))
+                    & (F.least("y1", "y2") <= F.col("gy1"))
+                    & (F.greatest("y1", "y2") >= F.col("gy0"))))
+    if not near.isEmpty():
+        raise ValueError(
+            "venue-locality violated: segments outside the affected venues "
+            "lie within gap_bound of an affected venue's extent, so ε-pairs "
+            "(and DBSCAN components) could span venues and the per-venue "
+            "incremental merge would be inexact — rerun the full pipeline "
+            "for this batch")
+
     old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
     new_pairs = joins.eps_join(segs_aff, params)
     pairs_tbl = rewrite("eps_pairs",
@@ -305,7 +349,10 @@ def _venue_filter(df: DataFrame, aff_df: DataFrame, key: str | None = None,
     how = "left_anti" if anti else "left_semi"
     if key is None:
         return df.join(F.broadcast(aff_df), "venue", how)
-    v = (F.col(key) / (segments.SEG_ID_STRIDE * VENUE_STRIDE)).cast("long")
+    # integer floor division — double division loses ulps past 2^53, which
+    # at ~10^7 venues would misroute boundary seg_ids into the wrong venue
+    # and silently keep stale rows through the anti-join (review r03)
+    v = F.expr(f"`{key}` div {segments.SEG_ID_STRIDE * VENUE_STRIDE}")
     return (df.withColumn("_v", v)
             .join(F.broadcast(aff_df.withColumnRenamed("venue", "_v")),
                   "_v", how)

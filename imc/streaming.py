@@ -36,9 +36,15 @@ PAGES_SCHEMA = T.StructType([
 
 
 def _initialized(out_dir: str) -> bool:
+    """Route on manifest EXISTENCE, not committed-ness: any prior data —
+    even a torn snapshot from a crashed run — must take the incremental
+    path, where run_incremental raises a LOUD recovery error for torn or
+    incomplete states. Routing a later wave to pipeline.run() would
+    rebuild every stage from that wave alone and silently discard all
+    previously ingested data (review r03)."""
     try:
-        return bool(manifest.read_manifest(os.path.join(out_dir, "points"))
-                    .get("committed"))
+        manifest.read_manifest(os.path.join(out_dir, "points"))
+        return True
     except (OSError, ValueError):
         return False
 

@@ -173,6 +173,30 @@ def test_incremental_merge_plan_bounded(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_incremental_rejects_venue_locality_violation(spark, tmp_path):
+    """The per-venue merge is exact only when venues are spatially far
+    apart. A new batch whose venue-1 trajectory sits INSIDE venue 0's
+    extent could form cross-venue ε-pairs — the guard must refuse loudly
+    rather than merge inexactly (review r03)."""
+    import pandas as pdd
+    from fixtures.gen_pages import _make_html, _make_text
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))  # venue 0
+    out = str(tmp_path / "loc")
+    pipeline.run(spark, pages, out, PARAMS)
+
+    ts = pdd.Timestamp("2027-01-01T00:00:00")
+    traj = "\n".join(
+        f"TRAJ 10000 {i} {10.0 + 0.5 * i:.6f} 20.000000 2027-01-01T00:00:00Z"
+        for i in range(6))  # venue 1 walk ON venue 0's middle corridor
+    batch = spark.createDataFrame(pdd.DataFrame(
+        [("https://fixture.test/venue1/walk0", ts,
+          _make_html("t", "p", traj), _make_text("t", "p", traj), "en")],
+        columns=["url", "warc_ts", "html", "text", "lang"]))
+    with pytest.raises(ValueError, match="venue-locality"):
+        pipeline.run_incremental(spark, batch, out, PARAMS)
+
+
+@pytest.mark.usefixtures("spark")
 def test_incremental_rejects_params_mismatch(spark, tmp_path):
     pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
     out = str(tmp_path / "pm")
