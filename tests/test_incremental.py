@@ -205,3 +205,28 @@ def test_incremental_rejects_params_mismatch(spark, tmp_path):
     other = dataclasses.replace(PARAMS, eps=2.4)
     with pytest.raises(ValueError, match="params"):
         pipeline.run_incremental(spark, pages.limit(10), out, other)
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_rejects_torn_and_missing_base(spark, tmp_path):
+    """Recovery guards (review r03): a torn snapshot (uncommitted manifest
+    from a crashed overwrite) or a missing base stage must raise a clear
+    recovery error instead of merging over inconsistent data — and the
+    streaming router must still route such outputs to the incremental
+    path (never to run(), which would discard prior waves)."""
+    from imc import streaming
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
+    out = str(tmp_path / "torn")
+    pipeline.run(spark, pages, out, PARAMS)
+
+    manifest.mark_uncommitted(os.path.join(out, "eps_pairs"))
+    assert streaming._initialized(out)  # prior data -> incremental path
+    with pytest.raises(ValueError, match="uncommitted"):
+        pipeline.run_incremental(spark, pages.limit(5), out, PARAMS)
+
+    import shutil as sh
+    sh.rmtree(os.path.join(out, "raster"))
+    with pytest.raises(ValueError, match="no manifest"):
+        pipeline.run_incremental(spark, pages.limit(5), out, PARAMS)
+
+    assert not streaming._initialized(str(tmp_path / "fresh"))
