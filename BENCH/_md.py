@@ -21,15 +21,18 @@ def replace_section(header_prefix: str, lines: list[str],
             text = f.read()
     except OSError:
         text = ""
-    anchor = None
-    for probe in (f"\n{header_prefix}", ):
-        idx = text.find(probe)
+    # remove EVERY matching section (not just the first): a file that
+    # already accumulated duplicates from the old append-mode bug must
+    # converge to one copy
+    while True:
+        anchor = None
+        idx = text.find(f"\n{header_prefix}")
         if idx >= 0:
             anchor = idx + 1
+        elif text.startswith(header_prefix):
+            anchor = 0
+        if anchor is None:
             break
-    if anchor is None and text.startswith(header_prefix):
-        anchor = 0
-    if anchor is not None:
         rest = text[anchor:]
         nxt = rest.find("\n## ")
         tail = rest[nxt + 1:] if nxt >= 0 else ""

@@ -89,9 +89,18 @@ def refresh_manifest(spark: SparkSession, path: str, stage: str,
         "committed": True,
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    with open(_manifest_path(path), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_json_atomic(_manifest_path(path), manifest)
     return snap
+
+
+def _write_json_atomic(mp: str, payload: dict) -> None:
+    """tmp-file + os.replace: a crash mid-write can never leave truncated
+    manifest JSON (the torn state every reader would otherwise have to
+    special-case)."""
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, mp)
 
 
 def read_stage(spark: SparkSession, path: str) -> DataFrame:
@@ -126,8 +135,7 @@ def mark_uncommitted(path: str) -> None:
     with open(mp) as f:
         m = json.load(f)
     m["committed"] = False
-    with open(mp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
+    _write_json_atomic(mp, m)
 
 
 def read_manifest(path: str) -> dict:

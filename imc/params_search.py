@@ -22,11 +22,14 @@ from imc.dbscan import symmetrize
 
 
 def neighborhood_entropy(segments: DataFrame, eps: float,
-                         params: IMCParams | None = None) -> tuple[float, float]:
-    """Returns (H(ε), avg |Nε|) for one candidate ε."""
+                         params: IMCParams | None = None,
+                         has_long: bool | None = None) -> tuple[float, float]:
+    """Returns (H(ε), avg |Nε|) for one candidate ε. has_long forwards to
+    eps_join — search_eps probes the input ONCE instead of per candidate."""
     params = dataclasses.replace(params or IMCParams(), eps=eps, cell_size=0.0)
     # lineage cut: the pair plan is consumed via symmetrize twice below
-    pairs = joins.eps_join(segments, params).localCheckpoint(eager=True)
+    pairs = (joins.eps_join(segments, params, has_long=has_long)
+             .localCheckpoint(eager=True))
     # |Nε| per segment including itself; segments with no neighbor count 1
     deg = (segments.select("seg_id")
            .join(symmetrize(pairs).groupBy("src").agg(F.count("*").alias("n")),
@@ -50,8 +53,20 @@ def search_eps(segments: DataFrame, candidates: list[float],
     """Evaluate H(ε) over candidate ε values; returns
     {"best_eps", "min_lns_range", "table": [(eps, H, avg_n)]}."""
     table = []
+    # ONE long-segment probe for the whole sweep: thresholds scale with ε,
+    # so "no segment exceeds the smallest candidate's threshold" implies
+    # the same for every larger candidate; only a positive probe falls
+    # back to per-candidate probing (has_long=None)
+    from pyspark.sql import functions as F
+    smallest = dataclasses.replace(params or IMCParams(),
+                                   eps=min(candidates), cell_size=0.0)
+    ln = F.hypot(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
+    any_long = not segments.filter(
+        ln > F.lit(4.0 * smallest.join_cell)).isEmpty()
+    has_long = None if any_long else False
     for eps in candidates:
-        h, avg_n = neighborhood_entropy(segments, eps, params)
+        h, avg_n = neighborhood_entropy(segments, eps, params,
+                                        has_long=has_long)
         table.append((eps, h, avg_n))
     best = min(table, key=lambda t: t[1])
     return {

@@ -100,9 +100,13 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
     # collected once and shipped in the UDF closure); beyond the threshold
     # the driver leaves the path entirely: venue-cogrouped PIP, where each
     # venue's rings meet its segments inside one applyInPandas task.
-    # count the actual broadcast payload (outer rings = tiles), not the
-    # polygons row count (which includes hole rings)
-    n_tiles = _tiles_df_from_polygons(polys).count()
+    # dispatch on the actual broadcast payload (outer rings = tiles). The
+    # manifest row_count upper-bounds it for free (rows = outer + holes),
+    # so the common small case decides with zero extra jobs; only a
+    # row_count above the limit pays the filtered count.
+    n_rows = manifest.read_manifest(results["polygons"][0]).get("row_count", 0)
+    n_tiles = (n_rows if n_rows <= TILE_BROADCAST_LIMIT
+               else _tiles_df_from_polygons(polys).count())
     if n_tiles <= TILE_BROADCAST_LIMIT:
         ta = joins.tile_assignments(segs, _tiles_from_polygons(polys))
     else:
@@ -186,7 +190,7 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
                  "tile_assignments"):
         try:
             prev[name] = manifest.read_manifest(os.path.join(out_dir, name))
-        except OSError as e:
+        except (OSError, ValueError) as e:
             raise ValueError(
                 f"stage '{name}' has no manifest — the base output is "
                 f"incomplete (an initial run was interrupted); rerun the "
@@ -262,32 +266,41 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                            for f in like.schema.fields])
 
-    points = overwrite_partitions(
-        "points",
-        in_aff(old_points).join(new_urls, "url", "left_anti")
-        .unionByName(align(new_pts, old_points)))
+    # affected venues' merged points and their recomputed segments, as
+    # LAZY/checkpointed plans — built before any write so the locality
+    # guard below can refuse the batch with NOTHING mutated (review r03:
+    # a guard after the points/segments overwrite left a committed but
+    # cross-stage-inconsistent output behind)
+    merged_points = (in_aff(old_points).join(new_urls, "url", "left_anti")
+                     .unionByName(align(new_pts, old_points)))
+    new_segs = (segments.mdl_segments(merged_points)
+                .withColumn("venue", venue_col)
+                .localCheckpoint(eager=True))
+    old_segs_tbl = manifest.read_stage(spark, os.path.join(out_dir, "segments"))
 
-    segs = overwrite_partitions(
-        "segments",
-        segments.mdl_segments(in_aff(points)).withColumn("venue", venue_col))
-    segs_aff = in_aff(segs).localCheckpoint(eager=True)
-
-    # venue-locality guard (review r03): the per-venue pair/component merge
-    # below is exact ONLY when no ε-pair can span an affected and an
-    # unaffected venue. That is a DATA property (venues are far apart), so
-    # enforce it loudly instead of assuming: any unaffected segment whose
-    # bbox comes within gap_bound of an affected venue's extent could form
-    # a cross-venue pair (or chain a DBSCAN component across venues),
-    # which this merge cannot express. One broadcast-NLJ pass over the
-    # segments table against |delta venues| tiny extent rows.
+    # venue-locality guard: the per-venue pair/component merge below is
+    # exact ONLY when no ε-pair can span an affected and an unaffected
+    # venue. That is a DATA property (venues are far apart), so enforce it
+    # loudly instead of assuming. Extents cover the affected venues' NEW
+    # geometry AND their OLD geometry (a venue that moves away may leave
+    # stale cross-venue pairs behind — both states must be clear of
+    # unaffected segments). Cost: one broadcast-NLJ pass over the old
+    # segments table — corpus-scale, like the merge's own reads of the
+    # old tables (the O(delta) saving is in the COMPUTE stages); caching
+    # per-venue extents in the stage manifest would make this a pure
+    # driver-side check.
     gb = params.gap_bound
-    ext = (segs_aff.groupBy("venue")
-           .agg((F.min(F.least("x1", "x2")) - gb).alias("gx0"),
-                (F.max(F.greatest("x1", "x2")) + gb).alias("gx1"),
-                (F.min(F.least("y1", "y2")) - gb).alias("gy0"),
-                (F.max(F.greatest("y1", "y2")) + gb).alias("gy1"))
-           .drop("venue"))
-    near = (in_aff(segs, anti=True)
+
+    def _ext(df: DataFrame) -> DataFrame:
+        return (df.groupBy("venue")
+                .agg((F.min(F.least("x1", "x2")) - gb).alias("gx0"),
+                     (F.max(F.greatest("x1", "x2")) + gb).alias("gx1"),
+                     (F.min(F.least("y1", "y2")) - gb).alias("gy0"),
+                     (F.max(F.greatest("y1", "y2")) + gb).alias("gy1"))
+                .drop("venue"))
+
+    ext = _ext(new_segs).unionByName(_ext(in_aff(old_segs_tbl)))
+    near = (in_aff(old_segs_tbl, anti=True)
             .crossJoin(F.broadcast(ext))
             .filter((F.least("x1", "x2") <= F.col("gx1"))
                     & (F.greatest("x1", "x2") >= F.col("gx0"))
@@ -296,10 +309,14 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     if not near.isEmpty():
         raise ValueError(
             "venue-locality violated: segments outside the affected venues "
-            "lie within gap_bound of an affected venue's extent, so ε-pairs "
-            "(and DBSCAN components) could span venues and the per-venue "
-            "incremental merge would be inexact — rerun the full pipeline "
-            "for this batch")
+            "lie within gap_bound of an affected venue's extent (old or "
+            "new), so ε-pairs (and DBSCAN components) could span venues and "
+            "the per-venue incremental merge would be inexact — rerun the "
+            "full pipeline for this batch (no stage was modified)")
+
+    points = overwrite_partitions("points", merged_points)
+    segs = overwrite_partitions("segments", new_segs)
+    segs_aff = in_aff(segs).localCheckpoint(eager=True)
 
     old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
     new_pairs = joins.eps_join(segs_aff, params)

@@ -36,17 +36,15 @@ PAGES_SCHEMA = T.StructType([
 
 
 def _initialized(out_dir: str) -> bool:
-    """Route on manifest EXISTENCE, not committed-ness: any prior data —
-    even a torn snapshot from a crashed run — must take the incremental
-    path, where run_incremental raises a LOUD recovery error for torn or
-    incomplete states. Routing a later wave to pipeline.run() would
-    rebuild every stage from that wave alone and silently discard all
-    previously ingested data (review r03)."""
-    try:
-        manifest.read_manifest(os.path.join(out_dir, "points"))
-        return True
-    except (OSError, ValueError):
-        return False
+    """Route on manifest-FILE existence, not readability or committed-ness:
+    any prior data — even a torn snapshot from a crashed run — must take
+    the incremental path, where run_incremental raises a LOUD recovery
+    error for torn or incomplete states. Routing a later wave to
+    pipeline.run() would rebuild every stage from that wave alone and
+    silently discard all previously ingested data (review r03; manifest
+    writes are also atomic now, so a torn JSON can't occur either)."""
+    return os.path.exists(os.path.join(out_dir, "points",
+                                       manifest.MANIFEST_NAME))
 
 
 def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
