@@ -65,6 +65,11 @@ def run_bench(cpus: int, hot: bool = False) -> dict:
     # dominates fixed per-job latencies
     env["IMC_PAGES_SF"] = PAGES_SF
     env["IMC_SHUFFLE_PARTITIONS"] = "64"
+    # bench.py's own median-of-N protocol stays off here: this harness
+    # does its own repeats (best-of across outer runs), and nesting the
+    # two would quadruple wall time
+    env["IMC_BENCH_REPS"] = "1"
+    env["IMC_BENCH_WARMUP"] = "1"
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, env=env, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -111,7 +116,7 @@ def main():
     e_base, e_hot = eff(base_lo, base_hi), eff(hot_lo, hot_hi)
 
     lines = []
-    lines.append("# BENCH/BASELINE — measured throughput + scaling efficiency")
+    lines.append("## Full-pipeline suite, N vs 4N (BENCH/scaling.py)")
     lines.append("")
     lines.append(f"Protocol: same input (synthetic pages corpus at sf{PAGES_SF} + driver")
     lines.append(f"testdata sf0.1), same job config (64 shuffle partitions), two")
@@ -161,10 +166,12 @@ def main():
         lines.append(f"- `{key}`: `{json.dumps(r)}`")
     lines.append("")
 
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(out_path, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {out_path}", file=sys.stderr)
+    # replace only this harness's own section — BASELINE.md also carries
+    # hand-curated sections and other harnesses' sections (the old
+    # whole-file rewrite would have destroyed them)
+    from _md import replace_section
+    replace_section("## Full-pipeline suite, N vs 4N", lines)
+    print("updated BENCH/BASELINE.md section", file=sys.stderr)
     print(json.dumps({"hw_ceiling": ceiling,
                       "base_efficiency": e_base,
                       "base_efficiency_normalized": norm(e_base),
