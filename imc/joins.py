@@ -60,6 +60,11 @@ _COORDS = ["x1", "y1", "x2", "y2"]
 _KEY_BIAS = 1 << 20
 _KEY_SHIFT = 21
 
+# a segment longer than this many join cells takes the split-long cover
+# path (linear in length); the single source for eps_join's default and
+# for the pipeline's manifest-derived has_long (max_seg_len > factor × g)
+DEFAULT_SPLIT_FACTOR = 4.0
+
 
 def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     """Repartition iff the input arrives in fewer partitions than the
@@ -283,7 +288,7 @@ def _hot_cells(segs: DataFrame, g: float, r: float, factor: float) -> DataFrame:
 
 def eps_join(segments: DataFrame, params: IMCParams | None = None,
              salt: bool = True, metric: str = "traclus",
-             split_factor: float = 4.0,
+             split_factor: float = DEFAULT_SPLIT_FACTOR,
              has_long: bool | None = None) -> DataFrame:
     """All pairs (a_seg < b_seg) with distance ≤ ε.
 

@@ -52,22 +52,31 @@ def is_current(path: str, expected_snapshot: str) -> bool:
 
 def write_stage(df: DataFrame, path: str, stage: str,
                 input_snapshots: list[str], params_hash: str,
-                partition_by: list[str] | None = None) -> str:
+                partition_by: list[str] | None = None,
+                stats_fn=None) -> str:
     """Write df as a stage table + manifest; returns the snapshot id."""
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return refresh_manifest(df.sparkSession, path, stage, input_snapshots,
-                            params_hash, partition_by)
+                            params_hash, partition_by, stats_fn=stats_fn)
 
 
 def refresh_manifest(spark: SparkSession, path: str, stage: str,
                      input_snapshots: list[str], params_hash: str,
-                     partition_by: list[str] | None = None) -> str:
+                     partition_by: list[str] | None = None,
+                     stats_fn=None) -> str:
     """(Re)commit the manifest for data already at `path` — used both by
     write_stage and by incremental dynamic-partition-overwrite commits
-    (the iceberg-lite analogue of an Iceberg snapshot commit)."""
+    (the iceberg-lite analogue of an Iceberg snapshot commit).
+
+    stats_fn: optional `dict | Callable[[DataFrame], dict]` of extra
+    JSON-serializable column statistics recorded under manifest["stats"] —
+    the iceberg-lite analogue of Iceberg's per-file column bounds. A
+    callable runs over the table as written (one extra aggregate at write
+    time); a plain dict is recorded as-is (incremental commits merge old +
+    recomputed stats driver-side instead of re-scanning the corpus)."""
     snap = snapshot_id(stage, input_snapshots, params_hash)
 
     # per-partition lineage + metrics on the data as written
@@ -86,6 +95,8 @@ def refresh_manifest(spark: SparkSession, path: str, stage: str,
         "row_count": int(sum(r["rows"] for r in part_counts)),
         "partitions": [{"pid": int(r["pid"]), "rows": int(r["rows"])} for r in part_counts],
         "partition_by": partition_by or [],
+        "stats": (stats_fn(written) if callable(stats_fn)
+                  else (stats_fn or {})),
         "committed": True,
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
@@ -146,12 +157,14 @@ def read_manifest(path: str) -> dict:
 def materialize(df: DataFrame, path: str, stage: str,
                 input_snapshots: list[str], params_hash: str,
                 resume: bool = True,
-                partition_by: list[str] | None = None) -> tuple[DataFrame, str]:
+                partition_by: list[str] | None = None,
+                stats_fn=None) -> tuple[DataFrame, str]:
     """Stage checkpoint: skip compute when the manifest already matches the
     expected content-addressed snapshot (resume semantics of the north_rule).
     Returns (stage DataFrame as read back, snapshot id)."""
     snap = snapshot_id(stage, input_snapshots, params_hash)
     if resume and is_current(path, snap):
         return read_stage(df.sparkSession, path), snap
-    write_stage(df, path, stage, input_snapshots, params_hash, partition_by)
+    write_stage(df, path, stage, input_snapshots, params_hash, partition_by,
+                stats_fn=stats_fn)
     return read_stage(df.sparkSession, path), snap

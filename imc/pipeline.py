@@ -19,6 +19,7 @@ import os
 import uuid
 from contextlib import contextmanager
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,21 +30,25 @@ from imc.config import VENUE_STRIDE, IMCParams
 
 def _input_fingerprint(pages: DataFrame) -> str:
     """Content-address the pipeline ROOT from the actual input: the
-    canonicalized logical-plan hash PLUS file list + sizes + mtimes.
+    canonicalized logical-plan string hash PLUS file list + sizes + mtimes.
 
     Two ADVICE-found stale-resume classes are both closed here: a rerun
     with a different --input but the same --output (r01 — caught by the
     file listing), and two different filtered/derived views over the SAME
     files, e.g. run(pages.filter(...)) then run(pages) (r02 — caught by
-    semanticHash, which differs whenever the plan differs and is
-    canonicalized, so a plain re-read of the same path still matches).
-    In-memory inputs get a unique id — no stable identity ⟹ no resume
-    skipping."""
+    the canonicalized plan, which differs whenever the plan differs, so a
+    plain re-read of the same path still matches). The plan identity is
+    the CANONICALIZED PLAN STRING, not df.semanticHash(): semanticHash is
+    only stable within one JVM session (r4 fix — it silently defeated
+    resume for every new spark-submit process; cross-process stability is
+    test-gated in tests/test_pipeline.py). In-memory inputs get a unique
+    id — no stable identity ⟹ no resume skipping."""
     files = sorted(pages.inputFiles())
     if not files:
         return "inmemory-" + uuid.uuid4().hex
     h = hashlib.sha256()
-    h.update(f"plan|{pages.semanticHash()}".encode())
+    plan = pages._jdf.queryExecution().logical().canonicalized().toString()
+    h.update(f"plan|{plan}".encode())
     for f in files:
         local = f[7:] if f.startswith("file://") else (
             f[5:] if f.startswith("file:") else f)
@@ -55,6 +60,44 @@ def _input_fingerprint(pages: DataFrame) -> str:
     return "pages-" + h.hexdigest()[:20]
 
 
+def _segment_stats(df: DataFrame) -> dict:
+    """Per-venue column statistics recorded in the segments-stage manifest
+    (the iceberg-lite analogue of Iceberg per-file column bounds):
+    venue → [x0, x1, y0, y1, max_len] — bbox of all segment endpoints plus
+    the longest segment length. One aggregate over the data being written;
+    downstream they make (a) the incremental venue-locality guard a pure
+    driver-side check (no corpus scan per delta batch) and (b) eps_join's
+    has_long a manifest lookup (no per-run probe job)."""
+    rows = (df.groupBy("venue")
+            .agg(F.min(F.least("x1", "x2")).alias("x0"),
+                 F.max(F.greatest("x1", "x2")).alias("xm"),
+                 F.min(F.least("y1", "y2")).alias("y0"),
+                 F.max(F.greatest("y1", "y2")).alias("ym"),
+                 F.max(F.sqrt((F.col("x2") - F.col("x1"))
+                              * (F.col("x2") - F.col("x1"))
+                              + (F.col("y2") - F.col("y1"))
+                              * (F.col("y2") - F.col("y1")))).alias("max_len"))
+            .collect())
+    return {"venue_stats": {
+        str(int(r["venue"])): [float(r["x0"]), float(r["xm"]),
+                               float(r["y0"]), float(r["ym"]),
+                               float(r["max_len"])]
+        for r in rows}}
+
+
+def _has_long(seg_stats: dict | None, params: IMCParams) -> bool | None:
+    """Manifest-derived eps_join(has_long=...) value: True iff any venue's
+    longest segment exceeds the split threshold — exactly the predicate the
+    in-join probe evaluates (strict >, same float64 lengths), so the plan
+    chosen is identical and the probe job disappears. None (probe) only
+    when the manifest predates per-venue stats."""
+    vs = (seg_stats or {}).get("venue_stats")
+    if vs is None:
+        return None
+    mx = max((s[4] for s in vs.values()), default=0.0)
+    return mx > joins.DEFAULT_SPLIT_FACTOR * params.join_cell
+
+
 def run(spark: SparkSession, pages: DataFrame, out_dir: str,
         params: IMCParams | None = None, resume: bool = True,
         use_mdl: bool = True) -> dict:
@@ -64,10 +107,11 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     results: dict[str, tuple[str, str]] = {}
 
-    def stage(name, df, inputs, partition_by=None):
+    def stage(name, df, inputs, partition_by=None, stats_fn=None):
         path = os.path.join(out_dir, name)
         out, snap = manifest.materialize(df, path, name, inputs, ph,
-                                         resume=resume, partition_by=partition_by)
+                                         resume=resume, partition_by=partition_by,
+                                         stats_fn=stats_fn)
         results[name] = (path, snap)
         return out, snap
 
@@ -80,8 +124,13 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
                        [_input_fingerprint(pages)], partition_by=["venue"])
     seg_fn = segments.mdl_segments if use_mdl else segments.raw_segments
     segs, s_seg = stage("segments", seg_fn(pts).withColumn("venue", venue_col),
-                        [s_pts], partition_by=["venue"])
-    pairs, s_pairs = stage("eps_pairs", joins.eps_join(segs, params), [s_seg])
+                        [s_pts], partition_by=["venue"],
+                        stats_fn=_segment_stats)
+    seg_stats = manifest.read_manifest(results["segments"][0]).get("stats")
+    pairs, s_pairs = stage(
+        "eps_pairs",
+        joins.eps_join(segs, params, has_long=_has_long(seg_stats, params)),
+        [s_seg])
     assign, s_assign = stage("assignments", dbscan.dbscan(segs, pairs, params),
                              [s_seg, s_pairs])
     rep, s_rep = stage("rep_points",
@@ -234,7 +283,8 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
                anti: bool = False) -> DataFrame:
         return _venue_filter(df, aff_df, key=key, anti=anti)
 
-    def overwrite_partitions(name: str, df: DataFrame) -> DataFrame:
+    def overwrite_partitions(name: str, df: DataFrame,
+                             stats_fn=None) -> DataFrame:
         """Dynamic-partition-overwrite the affected venue dirs, refresh the
         manifest (recount), return the full merged table. localCheckpoint
         breaks the read-path↔write-path cycle (a real Iceberg commit makes
@@ -251,7 +301,8 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         with _dynamic_overwrite(spark):
             df.write.mode("overwrite").partitionBy("venue").parquet(path)
         snap = manifest.refresh_manifest(spark, path, name, inputs_of(name),
-                                         ph, partition_by=["venue"])
+                                         ph, partition_by=["venue"],
+                                         stats_fn=stats_fn)
         results[name] = (path, snap)
         return manifest.read_stage(spark, path)
 
@@ -276,7 +327,11 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     new_segs = (segments.mdl_segments(merged_points)
                 .withColumn("venue", venue_col)
                 .localCheckpoint(eager=True))
-    old_segs_tbl = manifest.read_stage(spark, os.path.join(out_dir, "segments"))
+    # per-venue stats of the recomputed affected venues: ONE O(delta)
+    # aggregate that drives (a) the locality guard, (b) the merged
+    # segments-manifest stats, (c) the batch eps_join's has_long
+    new_vs = _segment_stats(new_segs)["venue_stats"]
+    old_vs = (prev["segments"].get("stats") or {}).get("venue_stats")
 
     # venue-locality guard: the per-venue pair/component merge below is
     # exact ONLY when no ε-pair can span an affected and an unaffected
@@ -284,42 +339,32 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     # loudly instead of assuming. Extents cover the affected venues' NEW
     # geometry AND their OLD geometry (a venue that moves away may leave
     # stale cross-venue pairs behind — both states must be clear of
-    # unaffected segments). Cost: one broadcast-NLJ pass over the old
-    # segments table — corpus-scale, like the merge's own reads of the
-    # old tables (the O(delta) saving is in the COMPUTE stages); caching
-    # per-venue extents in the stage manifest would make this a pure
-    # driver-side check.
+    # unaffected segments). With per-venue extents in the segments
+    # manifest this is a pure DRIVER-SIDE check — zero jobs over the old
+    # segments table, so run_incremental is O(delta) end-to-end; only a
+    # pre-stats base output (older manifest) pays the one-off
+    # broadcast-NLJ fallback scan.
     gb = params.gap_bound
-
-    def _ext(df: DataFrame) -> DataFrame:
-        return (df.groupBy("venue")
-                .agg((F.min(F.least("x1", "x2")) - gb).alias("gx0"),
-                     (F.max(F.greatest("x1", "x2")) + gb).alias("gx1"),
-                     (F.min(F.least("y1", "y2")) - gb).alias("gy0"),
-                     (F.max(F.greatest("y1", "y2")) + gb).alias("gy1"))
-                .drop("venue"))
-
-    ext = _ext(new_segs).unionByName(_ext(in_aff(old_segs_tbl)))
-    near = (in_aff(old_segs_tbl, anti=True)
-            .crossJoin(F.broadcast(ext))
-            .filter((F.least("x1", "x2") <= F.col("gx1"))
-                    & (F.greatest("x1", "x2") >= F.col("gx0"))
-                    & (F.least("y1", "y2") <= F.col("gy1"))
-                    & (F.greatest("y1", "y2") >= F.col("gy0"))))
-    if not near.isEmpty():
-        raise ValueError(
-            "venue-locality violated: segments outside the affected venues "
-            "lie within gap_bound of an affected venue's extent (old or "
-            "new), so ε-pairs (and DBSCAN components) could span venues and "
-            "the per-venue incremental merge would be inexact — rerun the "
-            "full pipeline for this batch (no stage was modified)")
+    if old_vs is not None:
+        _extent_guard_driver(old_vs, new_vs, set(affected), gb)
+    else:
+        _extent_guard_scan(spark, out_dir, aff_df, new_segs, gb)
 
     points = overwrite_partitions("points", merged_points)
-    segs = overwrite_partitions("segments", new_segs)
+    merged_vs = ({k: v for k, v in old_vs.items() if int(k) not in set(affected)}
+                 | new_vs if old_vs is not None else None)
+    segs = overwrite_partitions(
+        "segments", new_segs,
+        stats_fn={"venue_stats": merged_vs} if merged_vs is not None
+        else _segment_stats)
     segs_aff = in_aff(segs).localCheckpoint(eager=True)
 
     old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
-    new_pairs = joins.eps_join(segs_aff, params)
+    # has_long from the delta's own stats (eps_join runs on affected venues
+    # only) — no probe job, plan identical to what the probe would pick
+    aff_has_long = (max((s[4] for s in new_vs.values()), default=0.0)
+                    > joins.DEFAULT_SPLIT_FACTOR * params.join_cell)
+    new_pairs = joins.eps_join(segs_aff, params, has_long=aff_has_long)
     pairs_tbl = rewrite("eps_pairs",
                         in_aff(old_pairs, key="a_seg", anti=True)
                         .unionByName(align(new_pairs, old_pairs)))
@@ -354,6 +399,68 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
             in_aff(old_ta, key="seg_id", anti=True)
             .unionByName(align(new_ta, old_ta)))
     return results
+
+
+_LOCALITY_MSG = (
+    "venue-locality violated: segments outside the affected venues "
+    "lie within gap_bound of an affected venue's extent (old or "
+    "new), so ε-pairs (and DBSCAN components) could span venues and "
+    "the per-venue incremental merge would be inexact — rerun the "
+    "full pipeline for this batch (no stage was modified)")
+
+
+def _extent_guard_driver(old_vs: dict, new_vs: dict, affected: set,
+                         gb: float) -> None:
+    """Driver-side venue-locality guard over manifest-cached per-venue
+    extents — the O(delta) path: no job touches the old segments table.
+    Raises when any UNaffected venue's extent intersects any affected
+    venue's extent (old or new state) expanded by gap_bound. Extent-vs-
+    extent is (slightly) conservative vs the segment-level fallback scan —
+    a false trigger means venue bboxes overlap within gap_bound, in which
+    case per-venue merging is suspect anyway and a full run is the safe
+    answer. Cost: |affected| numpy passes over the venue-extent table
+    (extents live in the manifest, ~40 bytes/venue); a corpus pushing
+    10^7+ venues with large deltas would swap the inner pass for a
+    sort-based interval sweep, same contract."""
+    aff_keys = {str(int(v)) for v in affected}
+    aff_ext = [old_vs[k] for k in aff_keys if k in old_vs]
+    aff_ext += list(new_vs.values())
+    un = [v for k, v in old_vs.items() if k not in aff_keys]
+    if not un or not aff_ext:
+        return
+    arr = np.asarray([e[:4] for e in un], dtype=np.float64)  # x0,x1,y0,y1
+    for e in aff_ext:
+        hit = ((arr[:, 0] <= e[1] + gb) & (arr[:, 1] >= e[0] - gb)
+               & (arr[:, 2] <= e[3] + gb) & (arr[:, 3] >= e[2] - gb))
+        if bool(hit.any()):
+            raise ValueError(_LOCALITY_MSG)
+
+
+def _extent_guard_scan(spark: SparkSession, out_dir: str, aff_df: DataFrame,
+                       new_segs: DataFrame, gb: float) -> None:
+    """Fallback locality guard for base outputs whose segments manifest
+    predates per-venue stats: one broadcast-NLJ pass over the old segments
+    table (corpus-scale — paid once; the next commit records stats and
+    every later batch takes the driver-side guard)."""
+    old_segs_tbl = manifest.read_stage(spark, os.path.join(out_dir, "segments"))
+
+    def _ext(df: DataFrame) -> DataFrame:
+        return (df.groupBy("venue")
+                .agg((F.min(F.least("x1", "x2")) - gb).alias("gx0"),
+                     (F.max(F.greatest("x1", "x2")) + gb).alias("gx1"),
+                     (F.min(F.least("y1", "y2")) - gb).alias("gy0"),
+                     (F.max(F.greatest("y1", "y2")) + gb).alias("gy1"))
+                .drop("venue"))
+
+    ext = _ext(new_segs).unionByName(_ext(_venue_filter(old_segs_tbl, aff_df)))
+    near = (_venue_filter(old_segs_tbl, aff_df, anti=True)
+            .crossJoin(F.broadcast(ext))
+            .filter((F.least("x1", "x2") <= F.col("gx1"))
+                    & (F.greatest("x1", "x2") >= F.col("gx0"))
+                    & (F.least("y1", "y2") <= F.col("gy1"))
+                    & (F.greatest("y1", "y2") >= F.col("gy0"))))
+    if not near.isEmpty():
+        raise ValueError(_LOCALITY_MSG)
 
 
 def _venue_filter(df: DataFrame, aff_df: DataFrame, key: str | None = None,

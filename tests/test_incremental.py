@@ -197,6 +197,121 @@ def test_incremental_rejects_venue_locality_violation(spark, tmp_path):
 
 
 @pytest.mark.usefixtures("spark")
+def test_incremental_guard_is_driver_side(spark, tmp_path, monkeypatch):
+    """VERDICT r03 #1: with per-venue extents cached in the segments
+    manifest, the locality guard must run entirely driver-side — zero jobs
+    over the old segments table. The fallback scan fires ONLY for a base
+    output whose manifest predates stats."""
+    import json
+    from pyspark.sql import functions as F
+
+    from imc.extract import dedupe_pages
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
+    slot = F.regexp_extract("url", r"walk(\d+)$", 1).cast("int")
+    new_batch = dedupe_pages(pages).filter(slot >= 40)
+    assert new_batch.count() > 0
+    old_batch = pages.join(new_batch.select("url", "warc_ts"),
+                           ["url", "warc_ts"], "left_anti")
+    out = str(tmp_path / "drv")
+    pipeline.run(spark, old_batch, out, PARAMS)
+    seg_manifest = manifest.read_manifest(os.path.join(out, "segments"))
+    assert "venue_stats" in seg_manifest.get("stats", {})
+
+    def _boom(*a, **k):
+        raise AssertionError("fallback scan ran despite manifest stats")
+
+    monkeypatch.setattr(pipeline, "_extent_guard_scan", _boom)
+    res = pipeline.run_incremental(spark, new_batch, out, PARAMS)
+    # the merged manifest stats stay complete (unaffected from old manifest
+    # + recomputed affected) — the NEXT batch is driver-side guarded too
+    m2 = manifest.read_manifest(res["segments"][0])
+    assert set(m2["stats"]["venue_stats"]) == {"0"}
+
+    # strip the stats → the pre-r4 manifest shape → fallback scan fires
+    monkeypatch.undo()
+    called = {"n": 0}
+    orig = pipeline._extent_guard_scan
+
+    def _spy(*a, **k):
+        called["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pipeline, "_extent_guard_scan", _spy)
+    mp = os.path.join(out, "segments", manifest.MANIFEST_NAME)
+    with open(mp) as f:
+        m = json.load(f)
+    m.pop("stats", None)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    pipeline.run_incremental(spark, new_batch, out, PARAMS)
+    assert called["n"] == 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_run_has_no_probe_jobs(spark, tmp_path, monkeypatch):
+    """VERDICT r03 #4: pipeline.run must pass a manifest-derived has_long
+    to eps_join — no isEmpty() probe job anywhere in a full run."""
+    from pyspark.sql import DataFrame
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
+    calls = {"n": 0}
+    orig = DataFrame.isEmpty
+
+    def _count(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "isEmpty", _count)
+    pipeline.run(spark, pages, str(tmp_path / "np"), PARAMS)
+    assert calls["n"] == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_crash_between_tombstone_and_commit(spark, tmp_path,
+                                                        monkeypatch):
+    """VERDICT r03 #7 crash injection: die between mark_uncommitted and the
+    manifest refresh mid-run_incremental. The next run_incremental must
+    refuse loudly (torn snapshot), and a full run(resume=True) over the
+    merged corpus must recover to the clean full-recompute state."""
+    from pyspark.sql import functions as F
+
+    from imc.extract import dedupe_pages
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
+    slot = F.regexp_extract("url", r"walk(\d+)$", 1).cast("int")
+    new_batch = dedupe_pages(pages).filter(slot >= 40)
+    old_batch = pages.join(new_batch.select("url", "warc_ts"),
+                           ["url", "warc_ts"], "left_anti")
+    out = str(tmp_path / "crash")
+    pipeline.run(spark, old_batch, out, PARAMS)
+
+    real = manifest.refresh_manifest
+
+    def _crash(*a, **k):
+        raise RuntimeError("injected crash before manifest refresh")
+
+    monkeypatch.setattr(manifest, "refresh_manifest", _crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.run_incremental(spark, new_batch, out, PARAMS)
+    monkeypatch.setattr(manifest, "refresh_manifest", real)
+
+    # the points stage is now tombstoned (dropped partitions, no commit)
+    assert not manifest.read_manifest(os.path.join(out, "points"))["committed"]
+    with pytest.raises(ValueError, match="uncommitted"):
+        pipeline.run_incremental(spark, new_batch, out, PARAMS)
+
+    # recovery: a full resume run over the merged corpus rebuilds the torn
+    # stage (snapshot mismatch -> rewrite) and matches a clean full run
+    rec = pipeline.run(spark, pages, out, PARAMS, resume=True)
+    clean = pipeline.run(spark, pages, str(tmp_path / "clean"), PARAMS)
+    for name, keys in [("points", ["traj_id", "seq"]),
+                       ("segments", ["seg_id"]),
+                       ("eps_pairs", ["a_seg", "b_seg"]),
+                       ("assignments", ["seg_id"])]:
+        got = _read_sorted(spark, rec[name][0], keys)
+        want = _read_sorted(spark, clean[name][0], keys)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+@pytest.mark.usefixtures("spark")
 def test_incremental_rejects_params_mismatch(spark, tmp_path):
     pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
     out = str(tmp_path / "pm")

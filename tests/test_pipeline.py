@@ -61,6 +61,30 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
 
 
 @pytest.mark.usefixtures("spark")
+def test_input_fingerprint_stable_across_processes(spark):
+    """r4 regression: df.semanticHash() is only stable within one JVM, so
+    a fingerprint built on it silently defeated resume for every NEW
+    spark-submit process (each run recomputed all stages). The fingerprint
+    must be reproducible by a fresh interpreter + fresh SparkSession."""
+    import subprocess
+    import sys
+    path = gen_pages.ensure_pages(sf=0.001)
+    here = pipeline._input_fingerprint(spark.read.parquet(path))
+    script = (
+        "from pyspark.sql import SparkSession\n"
+        "import imc.pipeline as P\n"
+        "s = (SparkSession.builder.master('local[2]')"
+        ".config('spark.ui.enabled','false').getOrCreate())\n"
+        f"print('FP=' + P._input_fingerprint(s.read.parquet({path!r})))\n")
+    out = subprocess.run([sys.executable, "-c", script], check=True,
+                         capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__)))).stdout
+    other = [ln for ln in out.splitlines() if ln.startswith("FP=")][0][3:]
+    assert other == here
+
+
+@pytest.mark.usefixtures("spark")
 def test_partitioned_stages_prune(spark, tmp_path):
     """points/segments/raster/polygons are hive-partitioned by venue; a
     venue predicate must reach the scan as a PartitionFilter (SURVEY.md
