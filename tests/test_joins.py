@@ -81,16 +81,27 @@ def test_salted_equals_unsalted(spark, seg_df):
 
 def test_salted_equals_unsalted_hot_fixture(spark):
     """Skew robustness: on the hot-cell fixture (~30% of walks through one
-    junction) the salted join still produces the exact pair set."""
+    junction) the salted join still produces the exact pair set — with a
+    LONG segment crossing the junction, so the long join's hot-cell
+    salting (ADVICE r03: previously unsalted) is exercised against real
+    hot cells, not just the .otherwise(0) path."""
     path = gen_pages.ensure_pages(sf=0.001, hot=True)
     pts = extract.pages_to_points(spark.read.parquet(path))
-    seg_hot = segments.mdl_segments(pts).filter("traj_id % 50 < 12")
+    long_row = spark.createDataFrame(
+        pd.DataFrame([(999_000_000, 9999, -40.0, 20.0, 90.0, 20.0)],
+                     columns=["seg_id", "traj_id", "x1", "y1", "x2", "y2"]))
+    seg_hot = (segments.mdl_segments(pts).filter("traj_id % 50 < 12")
+               .select("seg_id", "traj_id", "x1", "y1", "x2", "y2")
+               .unionByName(long_row))
     seg_hot.cache().count()
     plain = joins.eps_join(seg_hot, PARAMS, salt=False).toPandas()
     salted = joins.eps_join(seg_hot, PARAMS, salt=True).toPandas()
     assert set(zip(plain["a_seg"], plain["b_seg"])) == \
         set(zip(salted["a_seg"], salted["b_seg"]))
     assert len(plain) > 0
+    # (the long segment contributes candidates through the hot junction
+    # cells — exactness of long-involving PAIRS at a pair-producing ε is
+    # covered by test_eps_join_split_long_equals_bruteforce)
 
 
 def test_knn_equals_bruteforce(spark, seg_df):

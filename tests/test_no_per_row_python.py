@@ -16,8 +16,11 @@ def test_no_row_udf_in_package():
             path = os.path.join(root, fn)
             with open(path) as f:
                 src = f.read()
-            # forbid pyspark.sql.functions.udf( / F.udf( — pandas_udf is fine
-            pat = (r"\bF\.udf\s*\(|\bfunctions\.udf\s*\(|"
+            # forbid pyspark.sql.functions.udf( / F.udf( — pandas_udf is
+            # fine — and any DataFrame.rdd access: .rdd forces eager
+            # physical planning + an RDD conversion inside otherwise-lazy
+            # operator constructors (VERDICT r03 #5)
+            pat = (r"\bF\.udf\s*\(|\bfunctions\.udf\s*\(|\.rdd\b|"
                    r"from\s+pyspark\.sql\.functions\s+import\s+(?:[\w,\s]*\b)udf\b")
             for m in re.finditer(pat, src):
                 start = src.rfind("\n", 0, m.start()) + 1
