@@ -1,7 +1,8 @@
 """Shared BASELINE.md section writer: replace a '## '-headed section in
-place (matching on a stable header PREFIX anchored at a line start), or
-append if absent — the one copy of the logic both bench harnesses use
-(two separate hand-maintained copies produced two drift bugs)."""
+place (matching on a stable header PREFIX anchored at a line start and
+OUTSIDE fenced code blocks), or append if absent — the one copy of the
+logic both bench harnesses use (two separate hand-maintained copies
+produced two drift bugs)."""
 
 from __future__ import annotations
 
@@ -11,31 +12,47 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(REPO, "BENCH", "BASELINE.md")
 
 
-def replace_section(header_prefix: str, lines: list[str],
+def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]]:
+    """[start, end) line spans of sections whose header line starts with
+    header_prefix. Fence-aware (ADVICE r03): a line inside a ``` fenced
+    code block is NEITHER a matching header NOR a terminating '## '
+    heading, so quoted headings in benchmark output can't truncate the
+    sections around them."""
+    spans = []
+    fenced = False
+    start = None
+    for i, ln in enumerate(lines):
+        if ln.lstrip().startswith("```"):
+            fenced = not fenced
+            continue
+        if fenced:
+            continue
+        if start is not None and ln.startswith("## "):
+            spans.append((start, i))
+            start = None
+        if start is None and ln.startswith(header_prefix):
+            start = i
+    if start is not None:
+        spans.append((start, len(lines)))
+    return spans
+
+
+def replace_section(header_prefix: str, new_lines: list[str],
                     path: str = BASELINE) -> None:
     """Replace the section whose '## ...' header line STARTS WITH
-    header_prefix (anchored at a line start, so prose mentions of the
-    header text can't corrupt the file); append the section if absent."""
+    header_prefix (anchored at a line start, outside fenced code blocks);
+    append the section if absent. Every matching duplicate is removed —
+    a file that accumulated copies from the old append-mode bug converges
+    to one."""
     try:
         with open(path) as f:
-            text = f.read()
+            lines = f.read().split("\n")
     except OSError:
-        text = ""
-    # remove EVERY matching section (not just the first): a file that
-    # already accumulated duplicates from the old append-mode bug must
-    # converge to one copy
-    while True:
-        anchor = None
-        idx = text.find(f"\n{header_prefix}")
-        if idx >= 0:
-            anchor = idx + 1
-        elif text.startswith(header_prefix):
-            anchor = 0
-        if anchor is None:
-            break
-        rest = text[anchor:]
-        nxt = rest.find("\n## ")
-        tail = rest[nxt + 1:] if nxt >= 0 else ""
-        text = text[:anchor].rstrip("\n") + ("\n" + tail if tail else "\n")
+        lines = []
+    for s, e in reversed(_section_spans(lines, header_prefix)):
+        del lines[s:e]
+    while lines and lines[-1] == "":
+        lines.pop()
+    out = lines + ([""] if lines else []) + list(new_lines)
     with open(path, "w") as f:
-        f.write(text.rstrip("\n") + "\n" + "\n".join(lines))
+        f.write("\n".join(out).rstrip("\n") + "\n")

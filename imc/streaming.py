@@ -47,6 +47,21 @@ def _initialized(out_dir: str) -> bool:
                                        manifest.MANIFEST_NAME))
 
 
+def _points_written_by_stream(out_dir: str) -> bool:
+    """True iff the committed points stage was written from an IN-MEMORY
+    input — i.e. by a foreachBatch wave of this stream, whose input
+    fingerprint is the 'inmemory-' class. Distinguishes the one state a
+    crashed FIRST wave leaves behind (points committed by the replayed
+    batch itself → safe to rebuild from that same batch) from a
+    half-built file-backed base some earlier manual run left (rebuilding
+    from a stream batch would discard that base's data — refuse instead)."""
+    try:
+        m = manifest.read_manifest(os.path.join(out_dir, "points"))
+    except (OSError, ValueError):
+        return False
+    return any(str(i).startswith("inmemory-") for i in m.get("inputs", []))
+
+
 def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
                  checkpoint_dir: str, params: IMCParams | None = None,
                  max_files_per_trigger: int | None = None):
@@ -64,10 +79,28 @@ def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
     def _fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        if _initialized(out_dir):
-            pipeline.run_incremental(spark, batch_df, out_dir, params)
-        else:
+        if not _initialized(out_dir):
             pipeline.run(spark, batch_df, out_dir, params)
+            return
+        try:
+            pipeline.run_incremental(spark, batch_df, out_dir, params)
+        except ValueError as e:
+            # ADVICE r03: a FIRST wave that crashed after the points stage
+            # committed but before later stages leaves a base that is
+            # "initialized" (points manifest exists) yet incomplete —
+            # every replay would loop on the missing-manifest recovery
+            # error forever. The replayed micro-batch IS that crashed
+            # wave's input (offsets only commit after foreachBatch
+            # succeeds), so when the committed points provably came from
+            # a stream batch (in-memory fingerprint), rebuilding the base
+            # from this batch is exact — fall through to pipeline.run.
+            # Any other state (file-backed half-built base, torn
+            # incremental snapshot → 'uncommitted') stays a loud error.
+            if ("has no manifest" in str(e)
+                    and _points_written_by_stream(out_dir)):
+                pipeline.run(spark, batch_df, out_dir, params)
+            else:
+                raise
 
     q = (stream.writeStream
          .foreachBatch(_fold)

@@ -69,3 +69,68 @@ def test_two_microbatches_equal_batch(spark, tmp_path):
     from imc import manifest
     m = manifest.read_manifest(os.path.join(out_dir, "eps_pairs"))
     assert m["committed"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_first_wave_crash_recovers_on_replay(spark, tmp_path, monkeypatch):
+    """ADVICE r03: a FIRST wave crashing after the points stage commits
+    (but before later stages) must not wedge the stream — the replayed
+    micro-batch routes to run_incremental, hits the missing-manifest
+    error, and (since the committed points provably came from a stream
+    batch) falls back to a full rebuild from that same batch. A later
+    wave then folds incrementally as usual."""
+    from pyspark.sql import functions as F
+
+    from imc import manifest, segments
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
+    slot = F.regexp_extract("url", r"walk(\d+)$", 1).cast("int")
+    wave1, wave2 = pages.filter(slot < 40), pages.filter(slot >= 40)
+    assert wave2.count() > 0
+
+    in_dir = str(tmp_path / "arriving")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    def land(df, name):
+        staged = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(staged, part), os.path.join(in_dir, name))
+
+    # wave 1 crashes inside the segments stage — points already committed
+    real_mdl = segments.mdl_segments
+
+    def _crash(*a, **k):
+        raise RuntimeError("injected segment-stage crash")
+
+    monkeypatch.setattr(segments, "mdl_segments", _crash)
+    land(wave1, "wave1.parquet")
+    from pyspark.errors import StreamingQueryException
+    with pytest.raises(StreamingQueryException, match="injected"):
+        streaming.stream_pages(spark, in_dir, out_dir, ck_dir, PARAMS)
+    assert streaming._initialized(out_dir)  # the wedge state
+    assert streaming._points_written_by_stream(out_dir)
+
+    # replay (same checkpoint, nothing new landed): recovers via fallback
+    monkeypatch.setattr(segments, "mdl_segments", real_mdl)
+    streaming.stream_pages(spark, in_dir, out_dir, ck_dir, PARAMS)
+    assert manifest.read_manifest(os.path.join(out_dir, "segments"))["committed"]
+
+    # wave 2 folds incrementally; end state equals one batch run
+    land(wave2, "wave2.parquet")
+    streaming.stream_pages(spark, in_dir, out_dir, ck_dir, PARAMS)
+    full = pipeline.run(spark, pages, str(tmp_path / "full"), PARAMS)
+    for name, keys in [("points", ["traj_id", "seq"]),
+                       ("segments", ["seg_id"]),
+                       ("eps_pairs", ["a_seg", "b_seg"])]:
+        got = _read_sorted(spark, os.path.join(out_dir, name), keys)
+        want = _read_sorted(spark, full[name][0], keys)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+    # a FILE-BACKED half-built base must NOT fall back (refuse loudly)
+    fb = str(tmp_path / "filebase")
+    pipeline.run(spark, pages, fb, PARAMS)
+    import shutil as sh
+    sh.rmtree(os.path.join(fb, "raster"))
+    assert not streaming._points_written_by_stream(fb)
