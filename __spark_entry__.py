@@ -299,10 +299,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_topk_ivf(spark, sf_dir):
         # n_lists sizes the inverted lists (~n/n_lists vectors each);
         # n_probe trades recall for probe cost — a 10^9-row corpus wants
-        # n_lists ~ sqrt(n) with the same sampled-seed quantizer
+        # n_lists ~ sqrt(n), trained on a bounded sample the same way.
+        # The quantizer is TRAINED (deterministic k-means, r4) — the
+        # centroids are literals shared with the DuckDB oracle
         return similarity.ann_topk_ivf(_tbl(spark, sf_dir, "embeddings"),
                                        k=5, probe_mod=50,
-                                       n_lists=16, n_probe=4)
+                                       n_lists=_IVF_N_LISTS,
+                                       n_probe=_IVF_N_PROBE,
+                                       centroids=_ivf_centroids(sf_dir))
 
     def ann_topk_lsh_multi(spark, sf_dir):
         # bits sizes bucket occupancy (≈ n/2^bits per table): 12 bits at
@@ -424,6 +428,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- geometry-oracle helpers (sf0.01 fixture paths + SQL fragments) ---
 
 _ORACLE_SF = 0.01  # the driver's correctness scale
+# the driver's correctness tables (TESTDATA.md) — used where an oracle
+# needs DATA-DEPENDENT literals (e.g. trained IVF centroids): the Spark
+# query trains on its sf_dir, the oracle trains on this one, and at the
+# driver's compare scale the two are the same table
+_ORACLE_DIR = "/root/testdata/sf0.01"
+
+_IVF_N_LISTS, _IVF_N_PROBE, _IVF_ITERS = 16, 4, 8
+_ivf_cent_cache: dict[str, list] = {}
+
+
+def _ivf_centroids(sf_dir: str) -> list:
+    """Trained IVF coarse quantizer for sf_dir's embeddings table —
+    similarity.train_ivf_centroids over the full (bounded, driver-scale)
+    table read via pyarrow: NO Spark and no BLAS GEMM anywhere, so the
+    query process and the oracle process produce bit-identical centroid
+    floats and can share them as literals (the lsh_planes pattern, but
+    data-dependent)."""
+    key = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    if key not in _ivf_cent_cache:
+        import numpy as np
+        import pyarrow.parquet as pq
+        t = pq.read_table(key, columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        mat = mat[np.argsort(ids, kind="stable")]
+        cent = similarity.train_ivf_centroids(mat, _IVF_N_LISTS, _IVF_ITERS)
+        _ivf_cent_cache[key] = [[float(x) for x in row] for row in cent]
+    return _ivf_cent_cache[key]
+
+
+def _ivf_seeds_sql() -> str:
+    """The trained centroids as a DuckDB VALUES literal (list_id, c_emb)."""
+    cent = _ivf_centroids(_ORACLE_DIR)
+    rows = ", ".join(
+        f"({i}::BIGINT, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cent))
+    return f"SELECT * FROM (VALUES {rows}) AS t(list_id, c_emb)"
 
 
 def _fixture_paths() -> tuple[str, str]:
@@ -1416,9 +1457,7 @@ def oracle_sql() -> dict[str, str]:
                                                eb.embedding::DOUBLE[]), 6) >= 0.45
         """,
         "ann_topk_ivf": f"""
-            WITH seeds AS (
-              SELECT vec_id AS list_id, embedding AS c_emb
-              FROM embeddings ORDER BY vec_id LIMIT 16),
+            WITH seeds AS ({_ivf_seeds_sql()}),
             ascored AS (
               SELECT e.vec_id, e.embedding, s.list_id,
                      round(list_cosine_similarity(e.embedding::DOUBLE[],

@@ -183,27 +183,79 @@ def ann_topk_lsh_multi(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
             .select("query_id", "neighbor_id", "score", "rank"))
 
 
+def train_ivf_centroids(vecs: np.ndarray, n_lists: int = 16,
+                        iters: int = 8) -> np.ndarray:
+    """Deterministic k-means coarse quantizer for the IVF index (VERDICT
+    r03: first-n-ids seeding is pathological when early ids are
+    unrepresentative, e.g. an id-ordered crawl of one domain).
+
+    vecs: (n, d) float64 rows in ASCENDING vec_id order (the caller
+    sorts). Every step is deterministic AND process-independent so the
+    resulting centroids can be shared as literals between the Spark
+    expressions and the DuckDB oracle:
+      - init: evenly STRIDED rows over the id-sorted table — covers the
+        id range whatever the id↔cluster correlation (the failure mode
+        first-n seeding has);
+      - assignment: cosine argmax computed per-centroid with elementwise
+        multiply + np.sum (pairwise summation, fixed order) — NO BLAS
+        GEMM, whose thread-count-dependent reduction order would make
+        centroid bits vary between the query process and the oracle
+        process;
+      - update: np.mean over the assigned rows in id order; an emptied
+        list keeps its previous centroid;
+      - ties: argmax takes the first (lowest list id).
+    """
+    vecs = np.asarray(vecs, dtype=np.float64)
+    n = len(vecs)
+    n_lists = min(n_lists, n)
+    idx = np.unique(np.round(np.linspace(0, n - 1, n_lists)).astype(np.int64))
+    cent = vecs[idx].copy()
+    vn = vecs / np.maximum(
+        np.sqrt((vecs * vecs).sum(axis=1, keepdims=True)), 1e-300)
+    for _ in range(iters):
+        cn = cent / np.maximum(
+            np.sqrt((cent * cent).sum(axis=1, keepdims=True)), 1e-300)
+        sims = np.stack([np.sum(vn * cn[j], axis=1)
+                         for j in range(len(cent))], axis=1)
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = vecs[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
 def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
-                 n_lists: int = 16, n_probe: int = 4) -> DataFrame:
+                 n_lists: int = 16, n_probe: int = 4,
+                 centroids: list | None = None) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the OTHER scale
     path next to multi-table LSH: a coarse quantizer partitions vectors
     into n_lists Voronoi lists; probes search only their n_probe nearest
     lists' vectors, exact-refined.
 
-    The quantizer is sampled-seed (the n_lists smallest vec_ids' own
-    vectors — FAISS-style sampled training without the k-means loop): seed
-    vectors are exact data copies, so the Spark and DuckDB twins share
-    them bit-for-bit and the whole index is hash-exact-oracle-able.
+    The quantizer: pass `centroids` (list of float lists — typically
+    train_ivf_centroids over a driver-side sample) for a TRAINED
+    quantizer whose centroid literals the Spark plan and the DuckDB
+    oracle share bit-for-bit; default None falls back to sampled-seed
+    (the n_lists smallest vec_ids' own vectors — the pre-r4 behavior,
+    kept as the zero-training baseline and adversarial-recall foil).
     Assignment ranks on (round(cos, 6) DESC, list_id) — deterministic
     across engines.
 
     100 TB posture: seeds are a tiny broadcast; assignment is one
     map-side pass (no shuffle); the candidate join shuffles by list_id —
     the IVF point: per-probe work is n_probe/n_lists of the corpus, and
-    a hot list salts exactly like a hot ε-join cell if needed."""
-    seeds = (embeddings.orderBy("vec_id").limit(n_lists)
-             .select(F.col("vec_id").alias("list_id"),
-                     F.col("embedding").alias("c_emb")))
+    a hot list salts exactly like a hot ε-join cell if needed. Training
+    runs once on a bounded driver-side sample — FAISS-style — and is
+    reused across queries."""
+    if centroids is not None:
+        seeds = embeddings.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "list_id long, c_emb array<double>")
+    else:
+        seeds = (embeddings.orderBy("vec_id").limit(n_lists)
+                 .select(F.col("vec_id").alias("list_id"),
+                         F.col("embedding").alias("c_emb")))
     scored = (embeddings.select("vec_id", "embedding")
               .crossJoin(F.broadcast(seeds))
               .withColumn("a_cos",

@@ -63,6 +63,62 @@ def test_ivf_recall_at_production_settings(clustered_emb, brute_truth):
     assert rec >= 0.95
 
 
+def test_ivf_trained_survives_id_ordered_adversary(spark):
+    """VERDICT r03 #3: first-n-ids seeding is pathological when early ids
+    are unrepresentative — here an ID-ORDERED corpus whose first 16 ids
+    all sit in ONE cluster (an id-ordered crawl of one domain). The
+    failure shows on LOOSE clusters (σ=1.0 vs center norm ~8): with no
+    seed near most of the space, same-cluster neighbors split across
+    lists on noise-scale cosine differences — measured recall collapses
+    to ~0.67 while the trained quantizer (strided-init deterministic
+    k-means, seeds near the actual cluster centers) holds 1.0 at the
+    SAME ~25% scan fraction. Gate both halves: trained recall ≥ 0.9 AND
+    genuine pruning (scan fraction near the ideal n_probe/n_lists)."""
+    rng = np.random.default_rng(11)
+    n, dim, nc = 2000, 64, 40
+    centers = rng.normal(0, 1, (nc, dim))
+    # ids sorted by cluster: ids 0..49 cluster 0, 50..99 cluster 1, ...
+    rows = [(i, (centers[i // 50] + rng.normal(0, 1.0, dim)).tolist(),
+             i // 50) for i in range(n)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]))
+    emb.cache().count()
+    brute = similarity.ann_topk_bruteforce(
+        emb, k=K, probe_mod=PROBE_MOD).toPandas()
+    truth = brute.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+
+    def scan_fraction(seeds):
+        """Mean fraction of the corpus a probe's n_probe lists cover."""
+        vn = mat / np.sqrt((mat * mat).sum(1, keepdims=True))
+        sn = np.asarray(seeds) / np.sqrt(
+            (np.asarray(seeds) ** 2).sum(1, keepdims=True))
+        sims = np.round(np.stack([np.sum(vn * sn[j], axis=1)
+                                  for j in range(len(sn))], 1), 6)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        assign = order[:, 0]
+        sizes = np.bincount(assign, minlength=len(sn))
+        probe_lists = order[::PROBE_MOD, :4]
+        return float(np.mean(sizes[probe_lists].sum(axis=1)) / n)
+
+    def rec(centroids):
+        got = (similarity.ann_topk_ivf(emb, k=K, probe_mod=PROBE_MOD,
+                                       n_lists=16, n_probe=4,
+                                       centroids=centroids)
+               .toPandas().groupby("query_id")["neighbor_id"]
+               .apply(set).to_dict())
+        return float(np.mean([len(got.get(q, set()) & s) / len(s)
+                              for q, s in truth.items()]))
+
+    trained = similarity.train_ivf_centroids(mat, n_lists=16, iters=8)
+    r_trained = rec([list(c) for c in trained])
+    r_firstn = rec(None)  # sampled-seed baseline: ids 0..15, one cluster
+    assert r_trained >= 0.9, r_trained
+    assert r_firstn < 0.75, r_firstn  # the adversary actually bites
+    # and the recall is earned by real pruning, not a degenerate big list
+    assert scan_fraction(trained) < 0.35, scan_fraction(trained)
+
+
 def test_lsh_multi_tables_recover_recall(clustered_emb, brute_truth):
     """The design claim behind multi-table LSH: at fixed bits, adding
     tables must strictly help (more bits alone must not)."""
