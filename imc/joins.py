@@ -24,11 +24,12 @@ as ONE distributed join, not n point queries:
     map stage as the join, so the whole ε-join is exactly one shuffle of
     the (small) cover sets with every stage inside whole-stage codegen.
 
-Scale note: a bbox cover is quadratic in cell span for long DIAGONAL
-segments where a grid-traversal cover is linear — MDL partitioning keeps
-segments straight, and straight segments have thin bboxes, so this is the
-right trade for TRACLUS inputs; a corpus with kilometre-scale diagonal
-segments would want a split-long-segments pre-pass first.
+Scale note: a full-bbox cover is quadratic in cell span for long
+DIAGONAL segments where a grid-traversal cover is linear. That weakness
+is CLOSED: segments longer than DEFAULT_SPLIT_FACTOR × join_cell take a
+split-long pre-pass (per-SUB-segment covers, linear in length, salted
+like the main join) through a second join deduped by distinct — see
+_split_bbox_cover and the has_long branch of eps_join.
 
 kNN join: the same cover primitive at an expanding probe-side radius R
 (base side unexpanded); a probe settles once its k-th distance provably

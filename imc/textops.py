@@ -2,8 +2,8 @@
 of the engine (deduplication, language ID, quality scoring, token counting,
 fingerprinting) over `documents(doc_id, text, lang, source, n_chars)`.
 
-Everything here is pure Catalyst expressions (JVM-side, whole-stage
-codegen) except simhash, which is a vectorized pandas UDF. Each operator
+Everything here — simhash included since r2 — is pure Catalyst
+expressions (JVM-side, whole-stage codegen). Each operator
 has an exactly-matching ANSI-SQL twin in __spark_entry__.oracle_sql() —
 the arithmetic is written to be bit-reproducible across Spark and DuckDB
 (md5 hex strings, integer counts, round(…,6) on ratios).
@@ -13,7 +13,7 @@ Dedup strategy ladder (exact → near):
   minhash signatures K=8 min-of-md5 over word-3-gram shingles
   lsh_dup_pairs      band buckets (4 bands × 2 rows) → in-bucket pairs
   ngram_jaccard      exact word-3-gram Jaccard on LSH candidates
-  simhash            64-bit sign-aggregated token-hash fingerprint (UDF)
+  simhash            64-bit sign-aggregated token-hash fingerprint
 """
 
 from __future__ import annotations
