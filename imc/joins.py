@@ -618,28 +618,43 @@ def tile_assignments(segments: DataFrame, tiles_pdf: pd.DataFrame) -> DataFrame:
             .select("seg_id", pip_assign(*args_front, mx, my).alias("tile_id")))
 
 
-def tile_assignments_cogrouped(segments: DataFrame, tiles: DataFrame) -> DataFrame:
+def tile_assignments_cogrouped(segments: DataFrame, tiles: DataFrame,
+                               n_buckets: int | None = None) -> DataFrame:
     """Venue-cogrouped point-in-polygon — the driver-free scale path
     (VERDICT r02 What's-missing #2).
 
-    Segments and tile polygons are CO-PARTITIONED by venue; each venue's
-    PIP runs inside one applyInPandas task over exactly its own rings —
-    no driver toPandas() collect, no broadcast, no driver-side structure
-    growing with the venue count, so the operator holds at 10^8 venues
-    where the broadcast path's tile collection is unbounded. The
-    broadcast path remains the right plan for SMALL tile sets (the
+    Segments and tile polygons are CO-PARTITIONED by a VENUE HASH BUCKET
+    (pmod(hash(venue), B)); each bucket's PIP runs inside one
+    applyInPandas task that walks its venues against exactly their own
+    rings (the same per-venue packed-array kernel the broadcast UDF uses)
+    — no driver toPandas() collect, no broadcast, no driver-side
+    structure growing with the venue count, so the operator holds at
+    10^8 venues where the broadcast path's tile collection is unbounded.
+
+    Bucketing, not raw venue, is the cogroup key deliberately: one Arrow
+    group PER VENUE drowns small venues in per-group overhead (measured
+    ~7× slower than broadcast on 2k venues × 10 segments in r4 — each
+    group paid serialization + Python dispatch for ~10 rows). Hashing
+    ~V/B venues into each of B ≈ 4×cores groups amortizes that overhead
+    to noise while keeping every venue's tiles and probes in one task.
+
+    The broadcast path remains the right plan for SMALL tile sets (the
     BASELINE.json "broadcast of small polygon sets" mandate) — the
     pipeline dispatches on tile count.
 
     Same output contract as tile_assignments (midpoint test, lowest
     tile_id wins, -1 when uncontained); equivalence test-gated.
     tiles: DataFrame(tile_id, venue, ring: array<struct<x,y>>)."""
-    segs = segments.select(
+    if n_buckets is None:
+        n_buckets = segments.sparkSession.sparkContext.defaultParallelism * 4
+    bucket = F.pmod(F.hash("venue"), F.lit(n_buckets))
+    segs = (segments.select(
         "seg_id",
         (F.col("traj_id") / TRAJ_VENUE_STRIDE).cast("long").alias("venue"),
         ((F.col("x1") + F.col("x2")) / 2.0).alias("px"),
         ((F.col("y1") + F.col("y2")) / 2.0).alias("py"))
-    tls = tiles.select("venue", "tile_id", "ring")
+        .withColumn("_b", bucket))
+    tls = tiles.select("venue", "tile_id", "ring").withColumn("_b", bucket)
 
     def _assign(seg_pdf: pd.DataFrame, tile_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(seg_pdf):
@@ -647,14 +662,17 @@ def tile_assignments_cogrouped(segments: DataFrame, tiles: DataFrame) -> DataFra
                                  "tile_id": pd.Series(dtype="int64")})
         out = np.full(len(seg_pdf), -1, dtype=np.int64)
         if len(tile_pdf):
-            packed = _PackedTiles(tile_pdf, venue_keyed=False)
+            packed = _PackedTiles(tile_pdf, venue_keyed=True)
             px = seg_pdf["px"].to_numpy(np.float64)
             py = seg_pdf["py"].to_numpy(np.float64)
-            packed.assign(px, py, range(len(packed.tile_ids)), out,
-                          np.ones(len(px), dtype=bool))
+            vs = seg_pdf["venue"].to_numpy(np.int64)
+            for v in np.unique(vs):
+                rng = packed.venue_slice(int(v))
+                if len(rng):
+                    packed.assign(px, py, rng, out, vs == v)
         return pd.DataFrame({"seg_id": seg_pdf["seg_id"].to_numpy(np.int64),
                              "tile_id": out})
 
-    return (segs.groupBy("venue")
-            .cogroup(tls.groupBy("venue"))
+    return (segs.groupBy("_b")
+            .cogroup(tls.groupBy("_b"))
             .applyInPandas(_assign, "seg_id long, tile_id long"))

@@ -61,6 +61,42 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
 
 
 @pytest.mark.usefixtures("spark")
+def test_pipeline_dispatches_cogrouped_pip_above_limit(spark, tmp_path,
+                                                       monkeypatch):
+    """VERDICT r03 #2 (wiring half): above TILE_BROADCAST_LIMIT the
+    pipeline must provably take the venue-cogrouped PIP — and its
+    tile_assignments output must equal the broadcast path's."""
+    from imc import joins
+    path = gen_pages.ensure_pages(sf=0.01)
+    pages = spark.read.parquet(path)
+
+    called = {"n": 0}
+    real = joins.tile_assignments_cogrouped
+
+    def _spy(*a, **k):
+        called["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(joins, "tile_assignments_cogrouped", _spy)
+    monkeypatch.setattr(pipeline, "TILE_BROADCAST_LIMIT", 3)
+    out_cg = pipeline.run(spark, pages, str(tmp_path / "cg"), PARAMS)
+    assert called["n"] == 1
+
+    monkeypatch.setattr(pipeline, "TILE_BROADCAST_LIMIT", 20_000)
+    out_bc = pipeline.run(spark, pages, str(tmp_path / "bc"), PARAMS)
+    assert called["n"] == 1  # broadcast path this time
+
+    got = _read_tile(spark, out_cg["tile_assignments"][0])
+    want = _read_tile(spark, out_bc["tile_assignments"][0])
+    assert got.equals(want) and len(got) > 0
+
+
+def _read_tile(spark, path):
+    df = spark.read.parquet(path).toPandas()
+    return df.sort_values("seg_id").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("spark")
 def test_input_fingerprint_stable_across_processes(spark):
     """r4 regression: df.semanticHash() is only stable within one JVM, so
     a fingerprint built on it silently defeated resume for every NEW
