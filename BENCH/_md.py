@@ -12,9 +12,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(REPO, "BENCH", "BASELINE.md")
 
 
-def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]]:
-    """[start, end) line spans of sections whose header line starts with
-    header_prefix. Fence-aware (ADVICE r03): a line inside a ``` fenced
+def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]]:  # noqa: E501
+    """[start, end) line spans of sections whose header line EXACTLY
+    equals header (modulo trailing whitespace — ADVICE r03 asked for
+    exact matching: a prefix match would let '## Foo' swallow a sibling
+    '## Foo (variant)' section). Fence-aware: a line inside a ``` fenced
     code block is NEITHER a matching header NOR a terminating '## '
     heading, so quoted headings in benchmark output can't truncate the
     sections around them."""
@@ -30,7 +32,7 @@ def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]
         if start is not None and ln.startswith("## "):
             spans.append((start, i))
             start = None
-        if start is None and ln.startswith(header_prefix):
+        if start is None and ln.rstrip() == header_prefix.rstrip():
             start = i
     if start is not None:
         spans.append((start, len(lines)))
@@ -39,9 +41,8 @@ def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]
 
 def replace_section(header_prefix: str, new_lines: list[str],
                     path: str = BASELINE) -> None:
-    """Replace the section whose '## ...' header line STARTS WITH
-    header_prefix (anchored at a line start, outside fenced code blocks);
-    append the section if absent. Every matching duplicate is removed —
+    """Replace the section whose '## ...' header line EXACTLY matches
+    header_prefix (outside fenced code blocks); append if absent. Every matching duplicate is removed —
     a file that accumulated copies from the old append-mode bug converges
     to one."""
     try:

@@ -3,9 +3,9 @@
 performance evidence).
 
 Synthesizes a many-venue corpus DIRECTLY as DataFrames (25k venues × 2
-tiles = 50k tiles — 2.5× the pipeline's 20k broadcast limit — and 10
-segments/venue = 250k probes), then times both operators on the same
-data at local[N] and local[4N]:
+tiles = 50k tiles — 2.5× the pipeline's 20k broadcast limit — and 40
+segments/venue = 1M probes; both env-tunable), then times both operators
+on the same data at local[N] and local[4N]:
 
   broadcast  — driver-collected packed-ring pandas payload shipped in the
                UDF closure (the small-tile-set plan; timing INCLUDES the

@@ -103,7 +103,7 @@ def main():
         "",
     ]
     from _md import replace_section
-    replace_section("## Platform scaling ceilings", lines)
+    replace_section("## Platform scaling ceilings (this box, measured)", lines)
     print(json.dumps(res))
 
 

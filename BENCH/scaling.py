@@ -170,7 +170,7 @@ def main():
     # hand-curated sections and other harnesses' sections (the old
     # whole-file rewrite would have destroyed them)
     from _md import replace_section
-    replace_section("## Full-pipeline suite, N vs 4N", lines)
+    replace_section("## Full-pipeline suite, N vs 4N (BENCH/scaling.py)", lines)
     print("updated BENCH/BASELINE.md section", file=sys.stderr)
     print(json.dumps({"hw_ceiling": ceiling,
                       "base_efficiency": e_base,

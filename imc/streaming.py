@@ -47,19 +47,25 @@ def _initialized(out_dir: str) -> bool:
                                        manifest.MANIFEST_NAME))
 
 
-def _points_written_by_stream(out_dir: str) -> bool:
-    """True iff the committed points stage was written from an IN-MEMORY
-    input — i.e. by a foreachBatch wave of this stream, whose input
-    fingerprint is the 'inmemory-' class. Distinguishes the one state a
-    crashed FIRST wave leaves behind (points committed by the replayed
-    batch itself → safe to rebuild from that same batch) from a
-    half-built file-backed base some earlier manual run left (rebuilding
-    from a stream batch would discard that base's data — refuse instead)."""
+def _points_written_by_stream_first_wave(out_dir: str) -> bool:
+    """True iff the committed points stage was written by a FIRST-wave
+    pipeline.run over an in-memory batch: exactly ONE input and it is the
+    'inmemory-' fingerprint class. That is the single state where
+    rebuilding from the replayed batch is exact — the batch IS the only
+    data ever ingested. The shape test must be this strict (review r4):
+    an INCREMENTAL commit's inputs are [parent_snapshot, inmemory_delta],
+    so merely asking 'any inmemory input?' is true for every
+    stream-maintained base, and a missing stage manifest at wave N>1
+    (e.g. a crash inside a rewrite stage's overwrite) would then silently
+    rebuild the whole output from wave N's batch alone — discarding every
+    earlier wave. With the strict shape, that wave-N state re-raises the
+    loud recovery error instead."""
     try:
         m = manifest.read_manifest(os.path.join(out_dir, "points"))
     except (OSError, ValueError):
         return False
-    return any(str(i).startswith("inmemory-") for i in m.get("inputs", []))
+    inputs = [str(i) for i in m.get("inputs", [])]
+    return len(inputs) == 1 and inputs[0].startswith("inmemory-")
 
 
 def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
@@ -92,12 +98,13 @@ def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
             # error forever. The replayed micro-batch IS that crashed
             # wave's input (offsets only commit after foreachBatch
             # succeeds), so when the committed points provably came from
-            # a stream batch (in-memory fingerprint), rebuilding the base
-            # from this batch is exact — fall through to pipeline.run.
-            # Any other state (file-backed half-built base, torn
-            # incremental snapshot → 'uncommitted') stays a loud error.
+            # a FIRST-wave stream batch (single in-memory input),
+            # rebuilding the base from this batch is exact — fall through
+            # to pipeline.run. Any other state (file-backed half-built
+            # base, wave-N crash, torn incremental snapshot →
+            # 'uncommitted') stays a loud error.
             if ("has no manifest" in str(e)
-                    and _points_written_by_stream(out_dir)):
+                    and _points_written_by_stream_first_wave(out_dir)):
                 pipeline.run(spark, batch_df, out_dir, params)
             else:
                 raise

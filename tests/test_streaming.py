@@ -110,7 +110,7 @@ def test_first_wave_crash_recovers_on_replay(spark, tmp_path, monkeypatch):
     with pytest.raises(StreamingQueryException, match="injected"):
         streaming.stream_pages(spark, in_dir, out_dir, ck_dir, PARAMS)
     assert streaming._initialized(out_dir)  # the wedge state
-    assert streaming._points_written_by_stream(out_dir)
+    assert streaming._points_written_by_stream_first_wave(out_dir)
 
     # replay (same checkpoint, nothing new landed): recovers via fallback
     monkeypatch.setattr(segments, "mdl_segments", real_mdl)
@@ -128,9 +128,20 @@ def test_first_wave_crash_recovers_on_replay(spark, tmp_path, monkeypatch):
         want = _read_sorted(spark, full[name][0], keys)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
-    # a FILE-BACKED half-built base must NOT fall back (refuse loudly)
+    # after an incremental wave the points inputs are [parent, delta] —
+    # the strict first-wave shape no longer holds, so a wave-N crash that
+    # loses a stage manifest must RE-RAISE, never silently rebuild the
+    # base from one late batch (review r4: any-inmemory matching would
+    # have discarded waves 1..N-1 here)
+    assert not streaming._points_written_by_stream_first_wave(out_dir)
+    import shutil as sh
+    sh.rmtree(os.path.join(out_dir, "eps_pairs"))
+    land(pages.filter(slot == 0), "wave3.parquet")
+    with pytest.raises(StreamingQueryException, match="no manifest"):
+        streaming.stream_pages(spark, in_dir, out_dir, ck_dir, PARAMS)
+
+    # a FILE-BACKED half-built base must NOT fall back either
     fb = str(tmp_path / "filebase")
     pipeline.run(spark, pages, fb, PARAMS)
-    import shutil as sh
     sh.rmtree(os.path.join(fb, "raster"))
-    assert not streaming._points_written_by_stream(fb)
+    assert not streaming._points_written_by_stream_first_wave(fb)
