@@ -453,6 +453,13 @@ def _ivf_centroids(sf_dir: str) -> list:
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
         mat = mat[np.argsort(ids, kind="stable")]
+        # 100 TB posture: train on a bounded deterministic stride sample
+        # (FAISS-style) — a corpus-scale table never reaches the driver.
+        # No effect at the driver's correctness scales (n ≤ cap there),
+        # so oracle literals are unchanged.
+        cap = 100_000
+        if len(mat) > cap:
+            mat = mat[::-(-len(mat) // cap)]
         cent = similarity.train_ivf_centroids(mat, _IVF_N_LISTS, _IVF_ITERS)
         _ivf_cent_cache[key] = [[float(x) for x in row] for row in cent]
     return _ivf_cent_cache[key]

@@ -205,8 +205,11 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     overwrite — unaffected venue directories are untouched on disk; the
     derived tables (ε-pairs, assignments, tile_assignments) merge
     unaffected old rows with recomputed affected-venue rows. Cross-venue
-    ε-pairs cannot exist (venues are ≥ VENUE_PITCH apart ≫ gap_bound), so
-    per-venue recompute is exact. Cluster ids are globally dense-ranked
+    geometry is handled EXACTLY (r4): the affected set expands to its
+    halo closure over the venue-adjacency graph (manifest extents within
+    gap_bound — see _venue_halo_closure), so ε-pairs and components
+    provably cannot cross the recompute boundary even when a delta lands
+    inside another venue's extent. Cluster ids are globally dense-ranked
     by component-min seg_id, so the merged table is re-ranked (one row
     per cluster) and rep_points/corridors — tiny, id-addressed — are
     recomputed; incremental output is bit-equal to a full recompute over
@@ -279,6 +282,41 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
               .distinct().localCheckpoint(eager=True))
     affected = sorted(r["venue"] for r in aff_df.collect())
 
+    # HALO CLOSURE (r4): venues are usually far apart, but a delta MAY
+    # land near (or inside) another venue's extent — ε-pairs and DBSCAN
+    # components can then span venues. Instead of rejecting such batches,
+    # expand the affected set to the BFS closure over the venue-adjacency
+    # graph (extents within gap_bound, from the manifest's per-venue
+    # stats + the batch's own point bboxes). A closure set is closed
+    # under adjacency, so no ε-pair can cross its boundary and any
+    # component touching it lies entirely inside it — recomputing the
+    # closure wholesale keeps the per-venue merge EXACT even for
+    # cross-venue geometry (test-gated against a full recompute). Only a
+    # pre-stats base manifest still takes the old scan-and-refuse guard.
+    old_vs = (prev["segments"].get("stats") or {}).get("venue_stats")
+    gb = params.gap_bound
+    if old_vs is not None:
+        new_ext = {str(int(r["venue"])): [r["x0"], r["x1"], r["y0"], r["y1"]]
+                   for r in (new_pts.groupBy("venue")
+                             .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                                  F.min("y").alias("y0"), F.max("y").alias("y1"))
+                             .collect())}
+        closure = _venue_halo_closure(old_vs, new_ext, set(affected), gb)
+        if len(closure) > len(affected):
+            total = len({int(k) for k in old_vs} | closure)
+            limit = max(HALO_MIN_VENUES, int(HALO_VENUE_FRACTION * total))
+            if len(closure) > limit:
+                raise ValueError(
+                    f"incremental halo too large: the delta's spatial halo "
+                    f"spans {len(closure)} of {total} venues (> limit "
+                    f"{limit}) — the batch effectively touches most of the "
+                    f"corpus, so a full pipeline run is cheaper and safer; "
+                    f"no stage was modified")
+            aff_df = spark.createDataFrame(
+                [(int(v),) for v in sorted(closure)],
+                "venue long").localCheckpoint(eager=True)
+            affected = sorted(closure)
+
     def in_aff(df: DataFrame, key: str | None = None,
                anti: bool = False) -> DataFrame:
         return _venue_filter(df, aff_df, key=key, anti=anti)
@@ -328,26 +366,16 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
                 .withColumn("venue", venue_col)
                 .localCheckpoint(eager=True))
     # per-venue stats of the recomputed affected venues: ONE O(delta)
-    # aggregate that drives (a) the locality guard, (b) the merged
-    # segments-manifest stats, (c) the batch eps_join's has_long
+    # aggregate that drives (a) the merged segments-manifest stats,
+    # (b) the batch eps_join's has_long
     new_vs = _segment_stats(new_segs)["venue_stats"]
-    old_vs = (prev["segments"].get("stats") or {}).get("venue_stats")
 
-    # venue-locality guard: the per-venue pair/component merge below is
-    # exact ONLY when no ε-pair can span an affected and an unaffected
-    # venue. That is a DATA property (venues are far apart), so enforce it
-    # loudly instead of assuming. Extents cover the affected venues' NEW
-    # geometry AND their OLD geometry (a venue that moves away may leave
-    # stale cross-venue pairs behind — both states must be clear of
-    # unaffected segments). With per-venue extents in the segments
-    # manifest this is a pure DRIVER-SIDE check — zero jobs over the old
-    # segments table, so run_incremental is O(delta) end-to-end; only a
-    # pre-stats base output (older manifest) pays the one-off
-    # broadcast-NLJ fallback scan.
-    gb = params.gap_bound
-    if old_vs is not None:
-        _extent_guard_driver(old_vs, new_vs, set(affected), gb)
-    else:
+    # venue-locality: with manifest stats, the halo closure above already
+    # guarantees no ε-pair (or component) crosses the recompute boundary
+    # — zero jobs over the old segments table, O(delta) end-to-end. Only
+    # a pre-stats base manifest pays the one-off broadcast-NLJ scan,
+    # which REFUSES cross-venue batches (the pre-halo behavior).
+    if old_vs is None:
         _extent_guard_scan(spark, out_dir, aff_df, new_segs, gb)
 
     points = overwrite_partitions("points", merged_points)
@@ -409,31 +437,46 @@ _LOCALITY_MSG = (
     "full pipeline for this batch (no stage was modified)")
 
 
-def _extent_guard_driver(old_vs: dict, new_vs: dict, affected: set,
-                         gb: float) -> None:
-    """Driver-side venue-locality guard over manifest-cached per-venue
-    extents — the O(delta) path: no job touches the old segments table.
-    Raises when any UNaffected venue's extent intersects any affected
-    venue's extent (old or new state) expanded by gap_bound. Extent-vs-
-    extent is (slightly) conservative vs the segment-level fallback scan —
-    a false trigger means venue bboxes overlap within gap_bound, in which
-    case per-venue merging is suspect anyway and a full run is the safe
-    answer. Cost: |affected| numpy passes over the venue-extent table
-    (extents live in the manifest, ~40 bytes/venue); a corpus pushing
-    10^7+ venues with large deltas would swap the inner pass for a
-    sort-based interval sweep, same contract."""
-    aff_keys = {str(int(v)) for v in affected}
-    aff_ext = [old_vs[k] for k in aff_keys if k in old_vs]
-    aff_ext += list(new_vs.values())
-    un = [v for k, v in old_vs.items() if k not in aff_keys]
-    if not un or not aff_ext:
-        return
-    arr = np.asarray([e[:4] for e in un], dtype=np.float64)  # x0,x1,y0,y1
-    for e in aff_ext:
+# halo safety valve: a closure spanning more than this fraction of known
+# venues (but at least HALO_MIN_VENUES) means the "delta" effectively
+# touches the whole corpus — a full run is cheaper than dropping and
+# rewriting most partitions through the incremental path
+HALO_VENUE_FRACTION = 0.5
+HALO_MIN_VENUES = 8
+
+
+def _venue_halo_closure(old_vs: dict, new_ext: dict, affected: set,
+                        gb: float) -> set:
+    """BFS closure of the affected venues over the venue-adjacency graph:
+    venue extents (manifest stats [x0,x1,y0,y1,...]) within gap_bound of
+    each other are adjacent. Seeds are the affected venues' OLD extents
+    (a venue that moves away may leave stale cross-venue pairs) plus the
+    batch's NEW per-venue point bboxes (a superset of the recomputed
+    segments' extents — conservative is exact here, merely recomputing
+    more). The result is closed under adjacency, so no ε-pair can cross
+    its boundary and every DBSCAN component that touches it lies wholly
+    inside it (a component's venue set is adjacency-connected) — the
+    foundation of the exact cross-venue incremental merge. Pure driver
+    code over manifest data: one numpy pass per frontier venue; a corpus
+    pushing 10^7+ venues would swap the pass for a sorted interval sweep,
+    same contract."""
+    keys = sorted(old_vs)
+    ids = np.asarray([int(k) for k in keys], dtype=np.int64)
+    arr = (np.asarray([old_vs[k][:4] for k in keys], dtype=np.float64)
+           if keys else np.zeros((0, 4)))
+    closure = {int(v) for v in affected}
+    frontier = [old_vs[k][:4] for k in (str(v) for v in closure)
+                if k in old_vs]
+    frontier += [e[:4] for e in new_ext.values()]
+    while frontier:
+        e = frontier.pop()
         hit = ((arr[:, 0] <= e[1] + gb) & (arr[:, 1] >= e[0] - gb)
                & (arr[:, 2] <= e[3] + gb) & (arr[:, 3] >= e[2] - gb))
-        if bool(hit.any()):
-            raise ValueError(_LOCALITY_MSG)
+        for vid in ids[hit]:
+            if int(vid) not in closure:
+                closure.add(int(vid))
+                frontier.append(old_vs[str(int(vid))][:4])
+    return closure
 
 
 def _extent_guard_scan(spark: SparkSession, out_dir: str, aff_df: DataFrame,

@@ -172,28 +172,98 @@ def test_incremental_merge_plan_bounded(spark):
     assert kept.count() == 0
 
 
-@pytest.mark.usefixtures("spark")
-def test_incremental_rejects_venue_locality_violation(spark, tmp_path):
-    """The per-venue merge is exact only when venues are spatially far
-    apart. A new batch whose venue-1 trajectory sits INSIDE venue 0's
-    extent could form cross-venue ε-pairs — the guard must refuse loudly
-    rather than merge inexactly (review r03)."""
+def _intruder_batch(spark):
+    """A venue-1 walk sitting ON venue 0's middle corridor — cross-venue
+    ε-pairs (and components) WILL form with venue 0's traffic."""
     import pandas as pdd
     from fixtures.gen_pages import _make_html, _make_text
-    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))  # venue 0
-    out = str(tmp_path / "loc")
-    pipeline.run(spark, pages, out, PARAMS)
-
     ts = pdd.Timestamp("2027-01-01T00:00:00")
     traj = "\n".join(
         f"TRAJ 10000 {i} {10.0 + 0.5 * i:.6f} 20.000000 2027-01-01T00:00:00Z"
-        for i in range(6))  # venue 1 walk ON venue 0's middle corridor
-    batch = spark.createDataFrame(pdd.DataFrame(
+        for i in range(6))
+    return spark.createDataFrame(pdd.DataFrame(
         [("https://fixture.test/venue1/walk0", ts,
           _make_html("t", "p", traj), _make_text("t", "p", traj), "en")],
         columns=["url", "warc_ts", "html", "text", "lang"]))
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_cross_venue_delta_equals_full(spark, tmp_path):
+    """r4 halo closure: a batch whose venue-1 trajectory sits INSIDE
+    venue 0's extent used to be REJECTED; now the affected set expands to
+    the adjacency closure {0, 1} and the merge is exact — bit-equal to a
+    full recompute including the cross-venue ε-pairs and the DBSCAN
+    components that span both venues."""
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))  # venue 0
+    out = str(tmp_path / "halo")
+    pipeline.run(spark, pages, out, PARAMS)
+    batch = _intruder_batch(spark)
+
+    inc_results = pipeline.run_incremental(spark, batch, out, PARAMS)
+    full_results = pipeline.run(spark, pages.unionByName(batch),
+                                str(tmp_path / "halo_full"), PARAMS)
+    for name, keys in [("points", ["traj_id", "seq"]),
+                       ("segments", ["seg_id"]),
+                       ("eps_pairs", ["a_seg", "b_seg"]),
+                       ("assignments", ["seg_id"]),
+                       ("tile_assignments", ["seg_id"])]:
+        got = _read_sorted(spark, inc_results[name][0], keys)
+        want = _read_sorted(spark, full_results[name][0], keys)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+    # the interesting case actually happened: cross-venue pairs exist
+    pairs = spark.read.parquet(inc_results["eps_pairs"][0]).toPandas()
+    va = pairs["a_seg"] // (100000 * 10000)
+    vb = pairs["b_seg"] // (100000 * 10000)
+    assert (va != vb).any()
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_halo_valve_and_prestats_fallback(spark, tmp_path,
+                                                      monkeypatch):
+    """The halo safety valve refuses deltas whose closure spans most of
+    the corpus, and a pre-stats base manifest still takes the old
+    scan-and-refuse guard for cross-venue batches."""
+    import json
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))
+    out = str(tmp_path / "valve")
+    pipeline.run(spark, pages, out, PARAMS)
+    batch = _intruder_batch(spark)
+
+    # valve: force the limit to zero-tolerance — the {0,1} closure trips
+    monkeypatch.setattr(pipeline, "HALO_MIN_VENUES", 1)
+    monkeypatch.setattr(pipeline, "HALO_VENUE_FRACTION", 0.0)
+    with pytest.raises(ValueError, match="halo too large"):
+        pipeline.run_incremental(spark, batch, out, PARAMS)
+    monkeypatch.undo()
+
+    # pre-stats manifest (old base): fallback scan refuses loudly
+    mp = os.path.join(out, "segments", manifest.MANIFEST_NAME)
+    with open(mp) as f:
+        m = json.load(f)
+    m.pop("stats", None)
+    with open(mp, "w") as f:
+        json.dump(m, f)
     with pytest.raises(ValueError, match="venue-locality"):
         pipeline.run_incremental(spark, batch, out, PARAMS)
+
+
+def test_venue_halo_closure_chain():
+    """Pure-driver closure: adjacency must CHAIN (A near B near C pulls C
+    in even when A and C are far apart) and stop at genuine gaps."""
+    # venues 0..9 in a chain 5 apart (extent width 4, gap 1 ≤ gb) then a
+    # far venue 20
+    old_vs = {str(i): [i * 5.0, i * 5.0 + 4.0, 0.0, 4.0, 1.0]
+              for i in range(10)}
+    old_vs["20"] = [1000.0, 1004.0, 0.0, 4.0, 1.0]
+    got = pipeline._venue_halo_closure(old_vs, {}, {3}, gb=2.0)
+    assert got == set(range(10))
+    # gap bound too small to bridge the 1-unit gaps → no expansion
+    got2 = pipeline._venue_halo_closure(old_vs, {}, {3}, gb=0.5)
+    assert got2 == {3}
+    # new extents seed expansion even for a brand-new venue id
+    got3 = pipeline._venue_halo_closure(
+        old_vs, {"99": [999.0, 999.5, 0.0, 4.0]}, {99}, gb=2.0)
+    assert got3 == {99, 20}
 
 
 @pytest.mark.usefixtures("spark")
