@@ -274,6 +274,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf_dir):
         return textops.fingerprints(_tbl(spark, sf_dir, "documents"))
 
+    def dedup_clusters(spark, sf_dir):
+        # the operational end of the dedup ladder: connected components
+        # over the verified Jaccard pairs; purge list = NOT is_keeper
+        return textops.dedup_clusters(_tbl(spark, sf_dir, "documents"), 0.7)
+
+    def text_split(spark, sf_dir):
+        return textops.train_split(_tbl(spark, sf_dir, "documents"), 10, 10)
+
+    def text_source_quota(spark, sf_dir):
+        return textops.source_quota(_tbl(spark, sf_dir, "documents"), 20)
+
     def media_metadata(spark, sf_dir):
         return multimodal.media_metadata(_tbl(spark, sf_dir, "documents"))
 
@@ -322,6 +333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              dedup_simhash_pairs=dedup_simhash_pairs,
              text_tokens=text_tokens, text_quality=text_quality,
              text_langid=text_langid, text_fingerprint=text_fingerprint,
+             dedup_clusters=dedup_clusters, text_split=text_split,
+             text_source_quota=text_source_quota,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
              ann_topk_ivf=ann_topk_ivf,
@@ -1347,6 +1360,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                         greatest(len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
                                  1.0), 6) >= 0.7
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sigs AS ({_sigs_cte()}),
+            bands AS ({_bands_cte()}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh
+                                FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT a_id, b_id
+              FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
+                        JOIN sh sb ON cand.b_id = sb.doc_id
+              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                          greatest(len(list_distinct(
+                              list_concat(sa.sh, sb.sh)))::DOUBLE,
+                                   1.0), 6) >= 0.7),
+            edges AS MATERIALIZED (
+              SELECT a_id, b_id FROM pairs
+              UNION ALL
+              SELECT b_id, a_id FROM pairs),
+            reach AS (
+              SELECT doc_id, doc_id AS r FROM documents
+              UNION
+              SELECT e.a_id AS doc_id, r.r
+              FROM edges e JOIN reach r ON e.b_id = r.doc_id)
+            SELECT doc_id, min(r) AS cluster_id,
+                   (doc_id = min(r)) AS is_keeper
+            FROM reach GROUP BY doc_id
+        """,
+        "text_split": """
+            WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hx
+                       FROM documents),
+            b AS (SELECT doc_id,
+                   ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+                   )::BIGINT % 100 AS bucket
+                  FROM h)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 10 THEN 'test'
+                        WHEN bucket < 20 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
+        """,
+        "text_source_quota": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, source, rn::BIGINT AS rn FROM r WHERE rn <= 20
         """,
         "text_tokens": r"""
             SELECT doc_id,

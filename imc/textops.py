@@ -288,3 +288,76 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
     return (cand.select("a_id", "b_id", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def dedup_clusters(documents: DataFrame, threshold: float = 0.7,
+                   max_rounds: int = 8) -> DataFrame:
+    """(doc_id, cluster_id, is_keeper) — near-duplicate CLUSTERS: connected
+    components over the verified Jaccard pair graph, the operational end
+    of the dedup ladder (pairs alone don't dedupe a corpus; the purge
+    list is `NOT is_keeper`). cluster_id = component-min doc_id (the
+    canonical keeper); singleton docs are their own cluster.
+
+    Min-label propagation over the symmetric edge list — one equi-join +
+    hash-agg per round, converging in O(component diameter) rounds;
+    near-dup components are near-cliques (every member pairs with most
+    others), so 2-3 rounds in practice at any corpus size. Convergence
+    is checked exactly (count of changed labels); max_rounds bounds
+    pathological chain graphs, and the round count is logged nowhere —
+    the contract is the fixed point, which the DuckDB recursive-CTE
+    oracle reproduces independently."""
+    pairs = ngram_jaccard_pairs(documents, threshold).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).localCheckpoint(eager=True)
+    lbl = (documents.select("doc_id").distinct()
+           .withColumn("label", F.col("doc_id"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        nb = (edges.join(lbl.select(F.col("doc_id").alias("b_id"),
+                                    F.col("label").alias("b_label")), "b_id")
+              .groupBy("a_id").agg(F.min("b_label").alias("nb_min")))
+        new = (lbl.join(nb.withColumnRenamed("a_id", "doc_id"), "doc_id", "left")
+               .select("doc_id",
+                       F.least("label", F.coalesce("nb_min", F.col("label")))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(lbl.withColumnRenamed("label", "old"), "doc_id")
+                   .filter("label != old").count())
+        lbl = new
+        if changed == 0:
+            break
+    return lbl.select("doc_id", F.col("label").alias("cluster_id"),
+                      (F.col("doc_id") == F.col("label")).alias("is_keeper"))
+
+
+def train_split(documents: DataFrame, test_pct: int = 10,
+                val_pct: int = 10) -> DataFrame:
+    """(doc_id, bucket, split) — deterministic train/val/test assignment:
+    bucket = first 4 hex digits of md5(doc_id) as an int mod 100 (stable
+    across engines, runs, and partitionings — never a random() split,
+    which is neither reproducible nor consistent between a corpus rebuild
+    and its consumers). bucket < test_pct → test, next val_pct → val,
+    rest train. Pure Catalyst; the DuckDB twin computes the identical
+    hex arithmetic."""
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("long") % 100)
+    split = (F.when(b < test_pct, "test")
+             .when(b < test_pct + val_pct, "val")
+             .otherwise("train"))
+    return documents.select("doc_id", b.alias("bucket"), split.alias("split"))
+
+
+def source_quota(documents: DataFrame, cap: int = 20) -> DataFrame:
+    """(doc_id, source, rn) — at most `cap` documents per source, chosen
+    deterministically (ascending doc_id): the source-mixing primitive of
+    corpus assembly (cap boilerplate-heavy domains before training). One
+    window shuffle keyed by source; a skewed mega-source is exactly the
+    hot-key case the engine's salting handles elsewhere, but a top-k per
+    key this small is AQE-safe as a plain window."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (documents
+            .select("doc_id", "source",
+                    F.row_number().over(w).cast("long").alias("rn"))
+            .filter(F.col("rn") <= cap))

@@ -211,3 +211,61 @@ def test_ann_lsh_bucket_consistency(spark):
     for _, r in got.iterrows():
         assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
     assert (got["rank"] >= 1).all()
+
+
+def test_dedup_clusters_components_and_keepers(spark, docs):
+    """Near-dup CLUSTERS (r4): the planted near-dup pair (200, 201) must
+    form one component keyed by its min doc_id; singletons keep
+    themselves; every doc appears exactly once."""
+    out = textops.dedup_clusters(docs, threshold=0.7).toPandas()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    by_doc = out.set_index("doc_id")
+    assert by_doc.loc[200, "cluster_id"] == 200
+    assert by_doc.loc[201, "cluster_id"] == 200
+    assert bool(by_doc.loc[200, "is_keeper"]) is True
+    assert bool(by_doc.loc[201, "is_keeper"]) is False
+    # the purge list removes exactly the non-keepers; keepers cover all
+    # clusters
+    keepers = out[out["is_keeper"]]
+    assert set(keepers["cluster_id"]) == set(out["cluster_id"])
+    assert (keepers["doc_id"] == keepers["cluster_id"]).all()
+
+
+def test_dedup_clusters_chain_transitivity(spark):
+    """A near-dup CHAIN (A~B, B~C, A!~C) must still collapse to ONE
+    component — pairs alone can't dedupe transitively, components can."""
+    base = ("w%d " * 60) % tuple(range(60))
+    words = base.split()
+    a = " ".join(words)
+    b = " ".join(words[:55] + ["x1", "x2", "x3", "x4", "x5"])
+    c = " ".join(words[:50] + ["x%d" % i for i in range(1, 11)])
+    pdf = pd.DataFrame(
+        [(1, a, "en", "s", 0), (2, b, "en", "s", 0), (3, c, "en", "s", 0)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = textops.dedup_clusters(
+        spark.createDataFrame(pdf), threshold=0.5).toPandas()
+    assert set(out["cluster_id"]) <= {1}
+
+
+def test_train_split_deterministic_and_proportioned(spark, docs):
+    out1 = textops.train_split(docs, 10, 10).toPandas()
+    out2 = textops.train_split(docs, 10, 10).toPandas()
+    pd.testing.assert_frame_equal(
+        out1.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+    assert set(out1["split"]) <= {"train", "val", "test"}
+    assert (out1["bucket"] < 100).all() and (out1["bucket"] >= 0).all()
+    # buckets decide splits consistently
+    assert ((out1["bucket"] < 10) == (out1["split"] == "test")).all()
+
+
+def test_source_quota_caps_per_source(spark):
+    pdf = pd.DataFrame(
+        [(i, "t", "en", "big" if i < 40 else "small", 0) for i in range(50)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = textops.source_quota(spark.createDataFrame(pdf), cap=5).toPandas()
+    counts = out.groupby("source")["doc_id"].count()
+    assert counts["big"] == 5 and counts["small"] == 5
+    # deterministic: lowest doc_ids kept
+    assert sorted(out[out["source"] == "big"]["doc_id"]) == list(range(5))
