@@ -930,6 +930,26 @@ def _bands_cte() -> str:
     return " UNION ALL ".join(selects)
 
 
+def _verified_pairs_cte(threshold: float = 0.7) -> str:
+    """cand → shingles → exact-Jaccard-verified pair CTE chain (needs
+    `sigs`/`bands` CTEs in scope) — the ONE copy of the verification SQL
+    and its threshold, shared by the dedup_jaccard_pairs and
+    dedup_clusters oracles (review r4: two hand-kept copies of
+    bit-sensitive SQL desynchronize silently)."""
+    jac = ("round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+           "greatest(len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, "
+           "1.0), 6)")
+    return (f"cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+            f"FROM bands a JOIN bands b ON a.band = b.band "
+            f"AND a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+            f"sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh "
+            f"FROM documents), "
+            f"vpairs AS MATERIALIZED (SELECT a_id, b_id, {jac} AS jaccard "
+            f"FROM cand JOIN sh sa ON cand.a_id = sa.doc_id "
+            f"JOIN sh sb ON cand.b_id = sb.doc_id "
+            f"WHERE {jac} >= {threshold})")
+
+
 def oracle_sql() -> dict[str, str]:
     k = textops.MINHASH_K
     sig_cols = ", ".join(f"sig_{i}" for i in range(k))
@@ -1346,43 +1366,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": f"""
             WITH sigs AS ({_sigs_cte()}),
             bands AS ({_bands_cte()}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
-            SELECT a_id, b_id,
-                   round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                         greatest(len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
-                                  1.0), 6) AS jaccard
-            FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
-                      JOIN sh sb ON cand.b_id = sb.doc_id
-            WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                        greatest(len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
-                                 1.0), 6) >= 0.7
+            {_verified_pairs_cte(0.7)}
+            SELECT a_id, b_id, jaccard FROM vpairs
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE sigs AS ({_sigs_cte()}),
             bands AS ({_bands_cte()}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bucket = b.bucket
-               AND a.doc_id < b.doc_id),
-            sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS sh
-                                FROM documents),
-            pairs AS MATERIALIZED (
-              SELECT a_id, b_id
-              FROM cand JOIN sh sa ON cand.a_id = sa.doc_id
-                        JOIN sh sb ON cand.b_id = sb.doc_id
-              WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                          greatest(len(list_distinct(
-                              list_concat(sa.sh, sb.sh)))::DOUBLE,
-                                   1.0), 6) >= 0.7),
+            {_verified_pairs_cte(0.7)},
             edges AS MATERIALIZED (
-              SELECT a_id, b_id FROM pairs
+              SELECT a_id, b_id FROM vpairs
               UNION ALL
-              SELECT b_id, a_id FROM pairs),
+              SELECT b_id, a_id FROM vpairs),
             reach AS (
               SELECT doc_id, doc_id AS r FROM documents
               UNION

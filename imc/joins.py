@@ -102,9 +102,14 @@ def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     yet would look starved — so estimate the packed split count the way
     Spark does: ceil(Σ(size + openCost) / maxPartitionBytes). Non-file
     inputs (in-memory tests, localCheckpointed deltas — small by
-    construction) and starved estimates repartition; remote-scheme files
-    that can't be stat'ed cheaply count as a full split each (generous →
-    no forced shuffle on big remote inputs)."""
+    construction) and starved estimates repartition. Remote schemes
+    (hdfs://, s3a://) that os.stat can't reach size their PARENT
+    directories through the Hadoop FileSystem API (one getContentSummary
+    per unique parent — bounded driver RPCs, never per-file); a parent
+    sum can only OVER-count (extra files in the dir), which errs toward
+    skipping the repartition — no forced shuffle on big remote inputs —
+    while tiny-file remote dirs still sum small and fan out (review r4:
+    a per-file full-split guess misestimated in both directions)."""
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism * factor
     files = df.inputFiles()
@@ -114,19 +119,42 @@ def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
     sample = files if len(files) <= 4096 else files[:4096]
     total = 0
+    remote = []
     for f in sample:
         local = f[7:] if f.startswith("file://") else (
             f[5:] if f.startswith("file:") else f)
         try:
             total += os.stat(local).st_size + open_cost
         except OSError:
-            total += max_pb  # unknown scheme: assume one full split
+            remote.append(f)
+    if remote:
+        total += _remote_bytes(spark, remote, open_cost, max_pb)
     if len(files) > len(sample):
         total = int(total * (len(files) / len(sample)))
     est_splits = max(1, -(-total // max_pb))
     if est_splits >= want:
         return df
     return df.repartition(want)
+
+
+def _remote_bytes(spark, files: list, open_cost: int, max_pb: int) -> int:
+    """Σ bytes for files os.stat can't reach: Hadoop getContentSummary
+    over their unique parent directories (capped; each extra parent
+    beyond the cap assumed maxPartitionBytes — the skip-repartition
+    direction). Any Hadoop failure falls back to one full split per
+    file, the previous conservative guess."""
+    try:
+        parents = sorted({f.rsplit("/", 1)[0] for f in files})
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        total = open_cost * len(files)
+        for p in parents[:64]:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            total += hp.getFileSystem(conf).getContentSummary(hp).getLength()
+        total += max_pb * max(0, len(parents) - 64)
+        return int(total)
+    except Exception:
+        return max_pb * len(files)
 
 
 def _cell_key(ix: Column, iy: Column) -> Column:

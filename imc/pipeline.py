@@ -296,12 +296,20 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     old_vs = (prev["segments"].get("stats") or {}).get("venue_stats")
     gb = params.gap_bound
     if old_vs is not None:
-        new_ext = {str(int(r["venue"])): [r["x0"], r["x1"], r["y0"], r["y1"]]
-                   for r in (new_pts.groupBy("venue")
-                             .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
-                                  F.min("y").alias("y0"), F.max("y").alias("y1"))
-                             .collect())}
-        closure = _venue_halo_closure(old_vs, new_ext, set(affected), gb)
+        # Seed extents are the HULL of each affected venue's OLD and NEW
+        # point sets TOGETHER — not the two boxes separately (review r4):
+        # a recomputed segment may BRIDGE an old point and a new point,
+        # sweeping the corridor between the boxes past venues near
+        # neither box alone. Every recomputed segment of venue v connects
+        # two points of v's merged point set ⊆ hull(v), so an ε-pair
+        # (bbox gap ≤ gap_bound) with another venue forces that venue's
+        # extent within gap_bound of hull(v) — an adjacency edge the BFS
+        # follows. Old points enter the hull UNFILTERED (url-replaced
+        # points included): a venue that moves away may leave stale
+        # cross-venue pairs that must be recomputed away too. One
+        # aggregate over the affected venues' points — O(delta·venue).
+        seed_ext = _affected_seed_extents(old_points, new_pts, aff_df)
+        closure = _venue_halo_closure(old_vs, seed_ext, set(affected), gb)
         if len(closure) > len(affected):
             total = len({int(k) for k in old_vs} | closure)
             limit = max(HALO_MIN_VENUES, int(HALO_VENUE_FRACTION * total))
@@ -445,15 +453,35 @@ HALO_VENUE_FRACTION = 0.5
 HALO_MIN_VENUES = 8
 
 
+def _affected_seed_extents(old_points: DataFrame, new_pts: DataFrame,
+                           aff_df: DataFrame) -> dict:
+    """Per-affected-venue bbox of (old ∪ new) POINTS — the halo-closure
+    seed. Point hulls, not segment extents: recomputed segments connect
+    any two merged points (old↔new bridges included), and old orphan
+    points (single-point trajectories, outside any old segment) can gain
+    partners from the delta — the point hull covers both cases, the old
+    segment extent covers neither. Returns {str(venue): [x0,x1,y0,y1]}."""
+    pts = (old_points.join(F.broadcast(aff_df), "venue", "left_semi")
+           .select("venue", "x", "y")
+           .unionByName(new_pts.select("venue", "x", "y")))
+    rows = (pts.groupBy("venue")
+            .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                 F.min("y").alias("y0"), F.max("y").alias("y1"))
+            .collect())
+    return {str(int(r["venue"])): [float(r["x0"]), float(r["x1"]),
+                                   float(r["y0"]), float(r["y1"])]
+            for r in rows}
+
+
 def _venue_halo_closure(old_vs: dict, new_ext: dict, affected: set,
                         gb: float) -> set:
     """BFS closure of the affected venues over the venue-adjacency graph:
     venue extents (manifest stats [x0,x1,y0,y1,...]) within gap_bound of
-    each other are adjacent. Seeds are the affected venues' OLD extents
-    (a venue that moves away may leave stale cross-venue pairs) plus the
-    batch's NEW per-venue point bboxes (a superset of the recomputed
-    segments' extents — conservative is exact here, merely recomputing
-    more). The result is closed under adjacency, so no ε-pair can cross
+    each other are adjacent. Seeds (new_ext) are the affected venues'
+    old∪new point HULLS (_affected_seed_extents — every recomputed
+    segment, bridges included, lies inside them), plus their old
+    manifest extents for belt-and-braces. The result is closed under
+    adjacency, so no ε-pair can cross
     its boundary and every DBSCAN component that touches it lies wholly
     inside it (a component's venue set is adjacency-connected) — the
     foundation of the exact cross-venue incremental merge. Pure driver

@@ -22,7 +22,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -291,7 +291,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def dedup_clusters(documents: DataFrame, threshold: float = 0.7,
-                   max_rounds: int = 8) -> DataFrame:
+                   max_rounds: int = 16) -> DataFrame:
     """(doc_id, cluster_id, is_keeper) — near-duplicate CLUSTERS: connected
     components over the verified Jaccard pair graph, the operational end
     of the dedup ladder (pairs alone don't dedupe a corpus; the purge
@@ -302,17 +302,22 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.7,
     hash-agg per round, converging in O(component diameter) rounds;
     near-dup components are near-cliques (every member pairs with most
     others), so 2-3 rounds in practice at any corpus size. Convergence
-    is checked exactly (count of changed labels); max_rounds bounds
-    pathological chain graphs, and the round count is logged nowhere —
-    the contract is the fixed point, which the DuckDB recursive-CTE
-    oracle reproduces independently."""
+    is checked exactly (count of changed labels) and NON-convergence
+    within max_rounds RAISES (review r4): silently returning partial
+    labels would leave a cluster with no keeper — its entire membership
+    on the purge list — and break the fixed-point contract the DuckDB
+    recursive-CTE oracle reproduces independently. A chain longer than
+    max_rounds means boilerplate drift; raise max_rounds for such
+    corpora. Each round persists the new label table and unpersists the
+    superseded one — bounded executor storage however many rounds run."""
     pairs = ngram_jaccard_pairs(documents, threshold).select("a_id", "b_id")
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint(eager=True)
     lbl = (documents.select("doc_id").distinct()
-           .withColumn("label", F.col("doc_id"))
-           .localCheckpoint(eager=True))
+           .withColumn("label", F.col("doc_id")).persist())
+    lbl.count()
+    converged = False
     for _ in range(max_rounds):
         nb = (edges.join(lbl.select(F.col("doc_id").alias("b_id"),
                                     F.col("label").alias("b_label")), "b_id")
@@ -321,14 +326,23 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.7,
                .select("doc_id",
                        F.least("label", F.coalesce("nb_min", F.col("label")))
                        .alias("label"))
-               .localCheckpoint(eager=True))
+               .persist())
         changed = (new.join(lbl.withColumnRenamed("label", "old"), "doc_id")
                    .filter("label != old").count())
+        lbl.unpersist()
         lbl = new
         if changed == 0:
+            converged = True
             break
-    return lbl.select("doc_id", F.col("label").alias("cluster_id"),
-                      (F.col("doc_id") == F.col("label")).alias("is_keeper"))
+    if not converged:
+        lbl.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_rounds} label-"
+            f"propagation rounds — a duplicate chain longer than that "
+            f"exists (boilerplate drift); raise max_rounds")
+    out = lbl.select("doc_id", F.col("label").alias("cluster_id"),
+                     (F.col("doc_id") == F.col("label")).alias("is_keeper"))
+    return out
 
 
 def train_split(documents: DataFrame, test_pct: int = 10,
@@ -355,7 +369,6 @@ def source_quota(documents: DataFrame, cap: int = 20) -> DataFrame:
     window shuffle keyed by source; a skewed mega-source is exactly the
     hot-key case the engine's salting handles elsewhere, but a top-k per
     key this small is AQE-safe as a plain window."""
-    from pyspark.sql import Window
     w = Window.partitionBy("source").orderBy("doc_id")
     return (documents
             .select("doc_id", "source",

@@ -264,6 +264,28 @@ def test_venue_halo_closure_chain():
     got3 = pipeline._venue_halo_closure(
         old_vs, {"99": [999.0, 999.5, 0.0, 4.0]}, {99}, gb=2.0)
     assert got3 == {99, 20}
+    # a HULL seed spanning old and new geometry pulls in every venue
+    # lying BETWEEN them (the bridge-segment corridor, review r4) even
+    # at a gap bound too small to chain venue-to-venue
+    got4 = pipeline._venue_halo_closure(
+        old_vs, {"0": [0.0, 47.0, 0.0, 4.0]}, {0}, gb=0.5)
+    assert got4 == set(range(10))
+
+
+@pytest.mark.usefixtures("spark")
+def test_affected_seed_extents_are_point_hulls(spark):
+    """Review r4: the closure seed must be the hull of an affected
+    venue's OLD and NEW points together — a recomputed segment may
+    bridge them, sweeping the corridor in between. Unaffected venues
+    contribute nothing."""
+    old_pts = spark.createDataFrame(
+        [(0, 1.0, 2.0), (0, 3.0, 4.0), (5, 100.0, 100.0)],
+        "venue long, x double, y double")
+    new_pts = spark.createDataFrame([(0, 50.0, -7.0)],
+                                    "venue long, x double, y double")
+    aff = spark.createDataFrame([(0,)], "venue long")
+    ext = pipeline._affected_seed_extents(old_pts, new_pts, aff)
+    assert ext == {"0": [1.0, 50.0, -7.0, 4.0]}
 
 
 @pytest.mark.usefixtures("spark")
