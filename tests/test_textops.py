@@ -269,3 +269,18 @@ def test_source_quota_caps_per_source(spark):
     assert counts["big"] == 5 and counts["small"] == 5
     # deterministic: lowest doc_ids kept
     assert sorted(out[out["source"] == "big"]["doc_id"]) == list(range(5))
+
+
+def test_new_ops_prune_columns_at_scan(spark):
+    """Plan quality: split/quota must push column pruning to the parquet
+    scan — corpus tables are wide (text dominates bytes); an assignment
+    op that drags `text` through the scan reads the whole corpus for a
+    two-column answer."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for op, needed, banned in [
+        (textops.train_split(docs), "doc_id", "text"),
+        (textops.source_quota(docs), "source", "text"),
+    ]:
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        rs = plan[plan.index("ReadSchema"):][:250]
+        assert needed in rs and banned not in rs, rs
