@@ -285,6 +285,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_source_quota(spark, sf_dir):
         return textops.source_quota(_tbl(spark, sf_dir, "documents"), 20)
 
+    def text_corpus_stats(spark, sf_dir):
+        # corpus composition ROLLUP — the SURVEY §2.5 cube/rollup row
+        return textops.corpus_stats(_tbl(spark, sf_dir, "documents"))
+
+    def dedup_embcos_clusters(spark, sf_dir):
+        # vector twin of dedup_clusters (same τ/bits as embcos pairs)
+        return similarity.embedding_dup_clusters(
+            _tbl(spark, sf_dir, "embeddings"), threshold=0.45,
+            bits=6, tables=4)
+
     def media_metadata(spark, sf_dir):
         return multimodal.media_metadata(_tbl(spark, sf_dir, "documents"))
 
@@ -335,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_langid=text_langid, text_fingerprint=text_fingerprint,
              dedup_clusters=dedup_clusters, text_split=text_split,
              text_source_quota=text_source_quota,
+             text_corpus_stats=text_corpus_stats,
+             dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
              ann_topk_ivf=ann_topk_ivf,
@@ -880,6 +892,25 @@ def _lsh_multi_bucket_sql(bits: int, tables: int) -> str:
         selects.append(f"SELECT vec_id, {t} AS tbl, "
                        f"({' + '.join(bit_terms)}) AS bucket FROM embeddings")
     return " UNION ALL ".join(selects)
+
+
+def _embcos_pairs_cte(threshold: float, bits: int, tables: int) -> str:
+    """mb/wb/ecand/epairs CTE chain for embedding-cosine near-dup pairs —
+    the ONE copy shared by the dedup_embcos_pairs and
+    dedup_embcos_clusters oracles (same single-source rule as
+    _verified_pairs_cte)."""
+    cos = ("round(list_cosine_similarity(ea.embedding::DOUBLE[], "
+           "eb.embedding::DOUBLE[]), 6)")
+    return (f"mb AS ({_lsh_multi_bucket_sql(bits, tables)}), "
+            f"wb AS (SELECT e.vec_id, e.embedding, m.tbl, m.bucket "
+            f"FROM embeddings e JOIN mb m USING (vec_id)), "
+            f"ecand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
+            f"FROM wb a JOIN wb b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+            f"AND a.vec_id < b.vec_id), "
+            f"epairs AS MATERIALIZED (SELECT c.a_id, c.b_id, {cos} AS cos "
+            f"FROM ecand c JOIN embeddings ea ON ea.vec_id = c.a_id "
+            f"JOIN embeddings eb ON eb.vec_id = c.b_id "
+            f"WHERE {cos} >= {threshold})")
 
 
 def _simhash_cte() -> str:
@@ -1509,21 +1540,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "dedup_embcos_pairs": f"""
-            WITH mb AS ({_lsh_multi_bucket_sql(6, 4)}),
-            wb AS (SELECT e.vec_id, e.embedding, m.tbl, m.bucket
-                   FROM embeddings e JOIN mb m USING (vec_id)),
-            cand AS (
-              SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-              FROM wb a JOIN wb b
-                ON a.tbl = b.tbl AND a.bucket = b.bucket
-               AND a.vec_id < b.vec_id)
-            SELECT c.a_id, c.b_id,
-                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                                eb.embedding::DOUBLE[]), 6) AS cos
-            FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
-                        JOIN embeddings eb ON eb.vec_id = c.b_id
-            WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                               eb.embedding::DOUBLE[]), 6) >= 0.45
+            WITH {_embcos_pairs_cte(0.45, 6, 4)}
+            SELECT a_id, b_id, cos FROM epairs
+        """,
+        "dedup_embcos_clusters": f"""
+            WITH RECURSIVE {_embcos_pairs_cte(0.45, 6, 4)},
+            eedges AS MATERIALIZED (
+              SELECT a_id, b_id FROM epairs
+              UNION ALL
+              SELECT b_id, a_id FROM epairs),
+            ereach AS (
+              SELECT vec_id, vec_id AS r FROM embeddings
+              UNION
+              SELECT e.a_id AS vec_id, r.r
+              FROM eedges e JOIN ereach r ON e.b_id = r.vec_id)
+            SELECT vec_id, min(r) AS cluster_id,
+                   (vec_id = min(r)) AS is_keeper
+            FROM ereach GROUP BY vec_id
+        """,
+        "text_corpus_stats": r"""
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text, '\S+')))::BIGINT
+                     AS n_tokens
+            FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "ann_topk_ivf": f"""
             WITH seeds AS ({_ivf_seeds_sql()}),

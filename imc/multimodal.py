@@ -48,21 +48,34 @@ def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     return arr.astype(np.float64)
 
 
-def _extract(batches):
-    for pdf in batches:
-        rows = []
-        for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
-            data = bytes(payload)
-            px = _decode_payload(data, mt)
-            # 4-dim feature: mean, std, min, max of the decoded samples
-            feat = [float(px.mean()), float(px.std()), float(px.min()), float(px.max())]
-            rows.append((int(doc_id), len(data),
-                         hashlib.sha256(data).hexdigest(), feat))
-        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "sha256", "feature"])
+def media_features(media: DataFrame, decoder=None) -> DataFrame:
+    """BINARY payload → metadata + feature vector via mapInPandas.
 
+    `decoder(payload_bytes, media_type) -> np.ndarray` is the SWAP SEAM
+    for a real image/audio decoder (PIL/librosa are absent in this
+    environment — the default _decode_payload is an honestly-stubbed
+    deterministic fake). The decoder is captured INSIDE the mapInPandas
+    closure, so an injected implementation is pickled by value and
+    reaches the Python workers — module monkeypatching would not (workers
+    re-import the module); the swap seam is test-gated with a custom
+    decoder end-to-end."""
+    decoder = decoder or _decode_payload
 
-def media_features(media: DataFrame) -> DataFrame:
-    """BINARY payload → metadata + feature vector via mapInPandas."""
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                           pdf["payload"]):
+                data = bytes(payload)
+                px = decoder(data, mt)
+                # 4-dim feature: mean, std, min, max of the decoded samples
+                feat = [float(px.mean()), float(px.std()),
+                        float(px.min()), float(px.max())]
+                rows.append((int(doc_id), len(data),
+                             hashlib.sha256(data).hexdigest(), feat))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes",
+                                              "sha256", "feature"])
+
     return media.mapInPandas(_extract, FEATURES_SCHEMA)
 
 

@@ -335,3 +335,19 @@ def ann_topk_lsh(embeddings: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))  # score already rounded
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def embedding_dup_clusters(embeddings: DataFrame, threshold: float = 0.9,
+                           bits: int = 12, tables: int = 4) -> DataFrame:
+    """(vec_id, cluster_id, is_keeper) — the vector twin of
+    textops.dedup_clusters: connected components over the embedding-
+    cosine near-duplicate pair graph (embedding_dup_pairs: multi-table
+    sign-LSH candidates, exact-cosine refine), labels via the shared
+    min-label propagation. Completes the dedup ladder at its operational
+    end for the embedding modality too — purge list = NOT is_keeper,
+    canonical representative = the component-min vec_id."""
+    from imc import textops
+    pairs = embedding_dup_pairs(embeddings, threshold, bits, tables).select(
+        F.col("a_id"), F.col("b_id"))
+    return textops.min_label_components(
+        embeddings.select("vec_id").distinct(), pairs, "vec_id")

@@ -311,23 +311,38 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.7,
     corpora. Each round persists the new label table and unpersists the
     superseded one — bounded executor storage however many rounds run."""
     pairs = ngram_jaccard_pairs(documents, threshold).select("a_id", "b_id")
+    return min_label_components(documents.select("doc_id").distinct(),
+                                pairs, "doc_id", max_rounds=max_rounds)
+
+
+def min_label_components(ids: DataFrame, pairs: DataFrame, id_col: str,
+                         max_rounds: int = 16) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    pair graph — the shared engine under dedup_clusters (text) and
+    embedding_dup_clusters (vectors). ids: one column `id_col`; pairs:
+    (a_id, b_id). Returns (id_col, cluster_id, is_keeper) with
+    cluster_id = component-min id. One equi-join + hash-agg per round;
+    non-convergence within max_rounds RAISES (silent partial labels
+    would leave a cluster with no keeper — its whole membership on the
+    purge list); each round persists the new label table and unpersists
+    the superseded one."""
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint(eager=True)
-    lbl = (documents.select("doc_id").distinct()
-           .withColumn("label", F.col("doc_id")).persist())
+    lbl = ids.select(F.col(id_col).alias("_id")).withColumn(
+        "label", F.col("_id")).persist()
     lbl.count()
     converged = False
     for _ in range(max_rounds):
-        nb = (edges.join(lbl.select(F.col("doc_id").alias("b_id"),
+        nb = (edges.join(lbl.select(F.col("_id").alias("b_id"),
                                     F.col("label").alias("b_label")), "b_id")
               .groupBy("a_id").agg(F.min("b_label").alias("nb_min")))
-        new = (lbl.join(nb.withColumnRenamed("a_id", "doc_id"), "doc_id", "left")
-               .select("doc_id",
+        new = (lbl.join(nb.withColumnRenamed("a_id", "_id"), "_id", "left")
+               .select("_id",
                        F.least("label", F.coalesce("nb_min", F.col("label")))
                        .alias("label"))
                .persist())
-        changed = (new.join(lbl.withColumnRenamed("label", "old"), "doc_id")
+        changed = (new.join(lbl.withColumnRenamed("label", "old"), "_id")
                    .filter("label != old").count())
         lbl.unpersist()
         lbl = new
@@ -337,12 +352,12 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.7,
     if not converged:
         lbl.unpersist()
         raise RuntimeError(
-            f"dedup_clusters did not converge within {max_rounds} label-"
-            f"propagation rounds — a duplicate chain longer than that "
-            f"exists (boilerplate drift); raise max_rounds")
-    out = lbl.select("doc_id", F.col("label").alias("cluster_id"),
-                     (F.col("doc_id") == F.col("label")).alias("is_keeper"))
-    return out
+            f"min_label_components did not converge within {max_rounds} "
+            f"label-propagation rounds — a duplicate chain longer than "
+            f"that exists (boilerplate drift); raise max_rounds")
+    return lbl.select(F.col("_id").alias(id_col),
+                      F.col("label").alias("cluster_id"),
+                      (F.col("_id") == F.col("label")).alias("is_keeper"))
 
 
 def train_split(documents: DataFrame, test_pct: int = 10,
@@ -374,3 +389,22 @@ def source_quota(documents: DataFrame, cap: int = 20) -> DataFrame:
             .select("doc_id", "source",
                     F.row_number().over(w).cast("long").alias("rn"))
             .filter(F.col("rn") <= cap))
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """(lang, source, n_docs, n_tokens) — corpus composition ROLLUP:
+    per (lang, source), per lang, and the grand total in ONE pass
+    (Spark expands the grouping sets and partially aggregates map-side —
+    a single shuffle however many levels). The corpus-assembly
+    dashboard query: what goes into the training mix, by how much.
+    Token definition shared with token_counts. NULL grouping keys are
+    coalesced to '(all)' so the frame is engine-portable (a pandas NULL
+    string round-trips differently from DuckDB's)."""
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    return (documents
+            .rollup("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(toks).cast("long").alias("n_tokens"))
+            .select(F.coalesce("lang", F.lit("(all)")).alias("lang"),
+                    F.coalesce("source", F.lit("(all)")).alias("source"),
+                    "n_docs", "n_tokens"))

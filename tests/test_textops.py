@@ -284,3 +284,62 @@ def test_new_ops_prune_columns_at_scan(spark):
         plan = op._jdf.queryExecution().executedPlan().toString()
         rs = plan[plan.index("ReadSchema"):][:250]
         assert needed in rs and banned not in rs, rs
+
+
+def test_corpus_stats_rollup_levels(spark, docs):
+    out = textops.corpus_stats(docs).toPandas()
+    total = out[(out["lang"] == "(all)") & (out["source"] == "(all)")]
+    assert len(total) == 1
+    n_docs = docs.count()
+    assert int(total["n_docs"].iloc[0]) == n_docs
+    # per-lang level sums to the total; (lang, source) level agrees
+    lang_lvl = out[(out["lang"] != "(all)") & (out["source"] == "(all)")]
+    assert int(lang_lvl["n_docs"].sum()) == n_docs
+    leaf = out[(out["lang"] != "(all)") & (out["source"] != "(all)")]
+    assert int(leaf["n_docs"].sum()) == n_docs
+    assert int(total["n_tokens"].iloc[0]) == int(leaf["n_tokens"].sum())
+
+
+def test_embedding_dup_clusters_components(spark):
+    """Vector twin of dedup_clusters: planted near-identical embeddings
+    collapse to one component keyed by min vec_id."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, 64)
+    rows = []
+    for i in range(30):
+        rows.append((i, (rng.normal(0, 1, 64)).tolist(), 0))
+    # 100 ~ 101 ~ 102: same direction, tiny jitter
+    for j, vid in enumerate((100, 101, 102)):
+        rows.append((vid, (base + rng.normal(0, 0.01, 64)).tolist(), 1))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]))
+    out = similarity.embedding_dup_clusters(
+        emb, threshold=0.9, bits=6, tables=4).toPandas()
+    assert len(out) == 33
+    by_id = out.set_index("vec_id")
+    assert by_id.loc[100, "cluster_id"] == 100
+    assert by_id.loc[101, "cluster_id"] == 100
+    assert by_id.loc[102, "cluster_id"] == 100
+    assert bool(by_id.loc[100, "is_keeper"]) and not bool(by_id.loc[101, "is_keeper"])
+
+
+def test_media_features_decoder_swap_seam(spark):
+    """The decoder is a closure-captured parameter: an injected
+    implementation must reach the Python workers (module monkeypatching
+    would not — workers re-import the module). A constant-decoder fake
+    must flow through to the features end-to-end."""
+    pdf = pd.DataFrame({"doc_id": [1, 2], "media_type": ["image", "audio"],
+                        "payload": [b"abc", b"defg"]})
+    media = spark.createDataFrame(pdf)
+
+    def fake_decoder(payload, media_type):
+        return np.full(4, float(len(payload)))
+
+    out = (multimodal.media_features(media, decoder=fake_decoder)
+           .toPandas().set_index("doc_id"))
+    assert out.loc[1, "feature"][0] == 3.0 and out.loc[1, "feature"][1] == 0.0
+    assert out.loc[2, "feature"][0] == 4.0
+    assert out.loc[1, "n_bytes"] == 3
+    # default stub still runs (deterministic fake pixels)
+    dflt = multimodal.media_features(media).toPandas()
+    assert len(dflt) == 2
