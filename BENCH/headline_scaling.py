@@ -124,7 +124,8 @@ def main():
         f"| local[{N_HI}] | {hi['sec']} | {round(thr_hi, 1)} |",
         "",
         f"**Headline scaling efficiency: {eff}** (raw; ÷ the measured hardware",
-        f"ceiling above for the engine-attributable number).",
+        f"ceiling in the 'Platform scaling ceilings' section for the",
+        f"engine-attributable number).",
         "",
     ]
     from _md import replace_section

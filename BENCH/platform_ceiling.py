@@ -90,6 +90,10 @@ def main():
         "",
         "## Platform scaling ceilings (this box, measured)",
         "",
+        "Re-measured each round; the JVM-shuffle row has ranged 0.57-0.70",
+        "across rounds on this box — the ceiling any shuffle-bound engine",
+        "code can reach here.",
+        "",
         f"| probe | local[{N_LO}] s | local[{N_HI}] s | efficiency |",
         "|---|---|---|---|",
         f"| CPU burn (no coordination; perfect = equal wall) | {res[f'burn_{N_LO}']} | {res[f'burn_{N_HI}']} | {res['burn_eff']} |",

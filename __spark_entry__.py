@@ -1559,8 +1559,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ereach GROUP BY vec_id
         """,
         "text_corpus_stats": r"""
-            SELECT coalesce(lang, '(all)') AS lang,
-                   coalesce(source, '(all)') AS source,
+            SELECT CASE WHEN grouping(lang) = 1 THEN '(all)'
+                        ELSE coalesce(lang, '(null)') END AS lang,
+                   CASE WHEN grouping(source) = 1 THEN '(all)'
+                        ELSE coalesce(source, '(null)') END AS source,
                    count(*)::BIGINT AS n_docs,
                    sum(len(regexp_extract_all(text, '\S+')))::BIGINT
                      AS n_tokens

@@ -5,8 +5,11 @@ partitioning, Arrow batch shape, mapInPandas signature) is real and tested.
 
 Pattern: media(doc_id BIGINT, media_type STRING, payload BINARY) →
 mapInPandas feature extraction → (doc_id, n_bytes, sha256, feature ARRAY).
-A real decoder (PIL/librosa/ffmpeg) slots into `_decode_payload` without
-touching the dataflow.
+A real decoder (PIL/librosa/ffmpeg) is injected via
+`media_features(media, decoder=...)` — closure-captured so it reaches
+the Python workers (replacing the module-level `_decode_payload` by
+monkeypatching would NOT: workers re-import the module). The swap seam
+is test-gated end-to-end with a fake decoder.
 """
 
 from __future__ import annotations

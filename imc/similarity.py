@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from imc import textops
+
 def _cos_expr(x, y):
     """Exact cosine as JVM array expressions, fixed dimension order, with
     the shared 1e-300 zero-norm guard — the ONE definition every LSH

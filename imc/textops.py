@@ -50,19 +50,26 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
                  F.count("*").alias("dup_count")))
 
 
+def _tokens_expr():
+    """Whitespace token count over `text` — the ONE token definition
+    (token_counts, quality_scores, corpus_stats and their oracles all
+    share it; review r4: hand-kept copies of bit-sensitive expressions
+    desynchronize silently)."""
+    return F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars_text) — whitespace tokenization."""
     return documents.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
-        .cast("long").alias("n_tokens"),
+        _tokens_expr().cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_text"))
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, punct_ratio, stop_ratio, quality) — heuristic
     quality scoring: punctuation density, English stopword rate, length."""
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_tokens = _tokens_expr()
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
     stop_re = r"\b(the|and|of|to|in)\b"
     n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(stop_re), 0))
@@ -397,14 +404,24 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     (Spark expands the grouping sets and partially aggregates map-side —
     a single shuffle however many levels). The corpus-assembly
     dashboard query: what goes into the training mix, by how much.
-    Token definition shared with token_counts. NULL grouping keys are
-    coalesced to '(all)' so the frame is engine-portable (a pandas NULL
-    string round-trips differently from DuckDB's)."""
-    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    Token definition shared with token_counts (_tokens_expr). Subtotal
+    rows are labelled via GROUPING(), not by overloading NULL: a corpus
+    with genuinely NULL lang/source values (upstream langid failures)
+    would otherwise collide its NULL-keyed leaf rows with the rollup
+    subtotal rows under one '(all)' sentinel (review r4) — data NULLs
+    surface as '(null)' instead. Both sentinels engine-portable (a
+    pandas NULL string round-trips differently from DuckDB's)."""
+
+    def key(col, g):
+        return (F.when(F.col(g) == 1, F.lit("(all)"))
+                .otherwise(F.coalesce(F.col(col), F.lit("(null)")))
+                .alias(col))
+
     return (documents
             .rollup("lang", "source")
             .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.sum(toks).cast("long").alias("n_tokens"))
-            .select(F.coalesce("lang", F.lit("(all)")).alias("lang"),
-                    F.coalesce("source", F.lit("(all)")).alias("source"),
+                 F.sum(_tokens_expr()).cast("long").alias("n_tokens"),
+                 F.grouping("lang").alias("_gl"),
+                 F.grouping("source").alias("_gs"))
+            .select(key("lang", "_gl"), key("source", "_gs"),
                     "n_docs", "n_tokens"))
