@@ -171,8 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def imc_knn(spark, sf_dir):
         segs = _fixture_segments(spark, sf_dir)
+        # the oracle computes EXACT kNN and asserts settled=true for every
+        # row — so a fixture probe silently truncated at R_max would
+        # hash-mismatch (the r5 settled flag is itself under the gate)
         return (joins.knn_join(segs, segs, k=3, params=PARAMS)
-                .select("a_seg", "b_seg", F.round("dist", 6).alias("dist"), "rank"))
+                .select("a_seg", "b_seg", F.round("dist", 6).alias("dist"),
+                        "rank", "settled"))
 
     def imc_assignments(spark, sf_dir):
         return _fixture_assignments(spark, sf_dir)
@@ -321,13 +325,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_lists sizes the inverted lists (~n/n_lists vectors each);
         # n_probe trades recall for probe cost — a 10^9-row corpus wants
         # n_lists ~ sqrt(n), trained on a bounded sample the same way.
-        # The quantizer is TRAINED (deterministic k-means, r4) — the
-        # centroids are literals shared with the DuckDB oracle
-        return similarity.ann_topk_ivf(_tbl(spark, sf_dir, "embeddings"),
-                                       k=5, probe_mod=50,
-                                       n_lists=_IVF_N_LISTS,
-                                       n_probe=_IVF_N_PROBE,
-                                       centroids=_ivf_centroids(sf_dir))
+        # r5: the quantizer comes from the WIRED index operator
+        # (similarity.ivf_index) — deterministic md5-bucket sample,
+        # persisted index manifest, zero-job reload on re-query. At the
+        # driver's correctness scale the sample is the full id-sorted
+        # table, so the centroids are bit-identical to the oracle's
+        # pyarrow-trained literals (_ivf_seeds_sql).
+        emb = _tbl(spark, sf_dir, "embeddings")
+        idx_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "fixtures", "data",
+            "ivf_" + os.path.basename(sf_dir.rstrip("/")))
+        return similarity.ann_topk_ivf(
+            emb, k=5, probe_mod=50,
+            n_lists=_IVF_N_LISTS, n_probe=_IVF_N_PROBE,
+            centroids=similarity.ivf_index(emb, idx_dir, _IVF_N_LISTS,
+                                           _IVF_ITERS))
 
     def ann_topk_lsh_multi(spark, sf_dir):
         # bits sizes bucket occupancy (≈ n/2^bits per table): 12 bits at
@@ -460,7 +472,7 @@ _ORACLE_SF = 0.01  # the driver's correctness scale
 _ORACLE_DIR = "/root/testdata/sf0.01"
 
 _IVF_N_LISTS, _IVF_N_PROBE, _IVF_ITERS = 16, 4, 8
-_ivf_cent_cache: dict[str, list] = {}
+_ivf_cent_cache: dict[tuple, list] = {}
 
 
 def _ivf_centroids(sf_dir: str) -> list:
@@ -470,21 +482,46 @@ def _ivf_centroids(sf_dir: str) -> list:
     query process and the oracle process produce bit-identical centroid
     floats and can share them as literals (the lsh_planes pattern, but
     data-dependent)."""
-    key = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(path)
+    # ADVICE r04: key on (path, size, mtime) so a regenerated fixture
+    # never serves stale centroids from the in-process cache
+    key = (path, st.st_size, st.st_mtime_ns)
     if key not in _ivf_cent_cache:
         import numpy as np
         import pyarrow.parquet as pq
-        t = pq.read_table(key, columns=["vec_id", "embedding"])
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        mat = mat[np.argsort(ids, kind="stable")]
-        # 100 TB posture: train on a bounded deterministic stride sample
-        # (FAISS-style) — a corpus-scale table never reaches the driver.
-        # No effect at the driver's correctness scales (n ≤ cap there),
-        # so oracle literals are unchanged.
+        pf = pq.ParquetFile(path)
+        n = pf.metadata.num_rows
+        # 100 TB posture (ADVICE r04): the row cap bounds the READ, not
+        # just the k-means input — row groups are streamed and strided
+        # BEFORE concatenation, so driver memory holds ~cap rows, and
+        # Arrow→numpy avoids to_pylist. Stride keeps every cap-th row of
+        # the id-sorted table (FAISS-style deterministic sample); no
+        # effect at the driver's correctness scales (n ≤ cap there), so
+        # oracle literals are unchanged.
         cap = 100_000
-        if len(mat) > cap:
-            mat = mat[::-(-len(mat) // cap)]
+        stride = max(1, -(-n // cap))
+        ids_parts, mat_parts = [], []
+        seen = 0
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = t.column("embedding")
+            # first index of this row group in the global stride pattern
+            take = np.arange((-seen) % stride, len(ids), stride)
+            seen += len(ids)
+            if not len(take):
+                continue
+            ids_parts.append(np.asarray(ids, dtype=np.int64)[take])
+            # flatten() (not .values) — it respects list-array offsets
+            flat = emb.combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)
+            dim = len(flat) // len(ids)
+            mat_parts.append(np.asarray(flat, dtype=np.float64)
+                             .reshape(len(ids), dim)[take])
+        ids = np.concatenate(ids_parts)
+        mat = np.concatenate(mat_parts, axis=0)
+        mat = mat[np.argsort(ids, kind="stable")]
         cent = similarity.train_ivf_centroids(mat, _IVF_N_LISTS, _IVF_ITERS)
         _ivf_cent_cache[key] = [[float(x) for x in row] for row in cent]
     return _ivf_cent_cache[key]
@@ -1051,7 +1088,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM m6)
             SELECT a_seg, b_seg, dist,
                    row_number() OVER (PARTITION BY a_seg
-                                      ORDER BY dist, b_seg)::BIGINT AS rank
+                                      ORDER BY dist, b_seg)::BIGINT AS rank,
+                   TRUE AS settled
             FROM d
             QUALIFY rank <= 3
         """,

@@ -102,6 +102,33 @@ def _connected_components(edges: DataFrame, nodes: DataFrame,
     return labels
 
 
+def rank_components(comps: DataFrame) -> DataFrame:
+    """(comp) → (comp, cluster_id): dense canonical ids 0..n−1 in
+    ascending comp order WITHOUT a global single-partition window
+    (VERDICT r04 #6: one row per cluster is tiny per venue, but a global
+    Window.orderBy over 10^8 clusters is one serial sort task).
+
+    comp is a component-min seg_id, and seg_id div (SEG_ID_STRIDE ×
+    VENUE_STRIDE) is its venue — MONOTONE in comp — so the global
+    ascending-comp order equals (venue asc, comp asc): rank within venue
+    (a distributed window keyed by venue) plus a per-venue base offset
+    (running sum over ONE ROW PER VENUE — the only single-task step,
+    venue-count-sized) reproduces the exact same total order, hence
+    bit-identical cluster ids (oracle-gated via imc_assignments)."""
+    from imc.config import VENUE_STRIDE
+    from imc.segments import SEG_ID_STRIDE
+    v = F.expr(f"comp div {SEG_ID_STRIDE * VENUE_STRIDE}")
+    wv = Window.partitionBy("_v").orderBy("comp")
+    ranked = (comps.withColumn("_v", v)
+              .withColumn("_r", F.row_number().over(wv)))
+    wo = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (ranked.groupBy("_v").agg(F.count("*").alias("_n"))
+            .withColumn("_off", F.coalesce(F.sum("_n").over(wo), F.lit(0))))
+    return (ranked.join(F.broadcast(offs.select("_v", "_off")), "_v")
+            .select("comp", (F.col("_off") + F.col("_r") - 1)
+                    .cast("long").alias("cluster_id")))
+
+
 def dbscan(segments: DataFrame, eps_pairs: DataFrame,
            params: IMCParams | None = None) -> DataFrame:
     """assignments(seg_id, cluster_id, is_core) — SURVEY.md §2.8."""
@@ -143,11 +170,9 @@ def dbscan(segments: DataFrame, eps_pairs: DataFrame,
             .select("comp"))
     surviving = assigned.join(keep, "comp", "left_semi")
 
-    # canonical ids: dense rank of comp labels — ranked on the DISTINCT comp
-    # set (tiny: one row per cluster), then joined back, so no global window
-    # over the full assignment table
-    comps = surviving.select("comp").distinct()
-    w = Window.orderBy("comp")
-    ranked = comps.withColumn("cluster_id", F.row_number().over(w).cast("long") - 1)
+    # canonical ids: dense rank of comp labels — ranked on the DISTINCT
+    # comp set (one row per cluster) via the two-level venue rank (no
+    # global single-partition window), then joined back
+    ranked = rank_components(surviving.select("comp").distinct())
     return (surviving.join(F.broadcast(ranked), "comp")
             .select("seg_id", "cluster_id", "is_core"))

@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_imc_manifest.json"
 
+# per-venue column-stats SIDE TABLE (parquet) inside the stage dir — the
+# iceberg-lite analogue of Iceberg's partition-stats file. The leading
+# underscore makes it invisible to parquet scans of the stage path
+# (Hadoop FileInputFormat hides _*/.* paths), so the stage table and its
+# stats co-live in one directory. Stats moved OUT of the manifest JSON in
+# r5 (VERDICT r04 next-round #1): one inline dict per venue made the
+# manifest — a driver-side, fully-loaded-per-batch structure — linear in
+# venue count; the side table is read lazily and filtered to the venues
+# a batch actually needs.
+VENUE_STATS_DIR = "_venue_stats"
+
 
 def snapshot_id(stage: str, input_snapshots: list[str], params_hash: str) -> str:
     payload = json.dumps({"stage": stage, "inputs": sorted(input_snapshots),
@@ -71,12 +82,14 @@ def refresh_manifest(spark: SparkSession, path: str, stage: str,
     write_stage and by incremental dynamic-partition-overwrite commits
     (the iceberg-lite analogue of an Iceberg snapshot commit).
 
-    stats_fn: optional `dict | Callable[[DataFrame], dict]` of extra
+    stats_fn: optional `dict | Callable[[DataFrame, str], dict]` of extra
     JSON-serializable column statistics recorded under manifest["stats"] —
     the iceberg-lite analogue of Iceberg's per-file column bounds. A
-    callable runs over the table as written (one extra aggregate at write
-    time); a plain dict is recorded as-is (incremental commits merge old +
-    recomputed stats driver-side instead of re-scanning the corpus)."""
+    callable runs over (table as written, stage path) at write time and
+    may persist SIDE TABLES under the stage path (write_venue_stats);
+    whatever dict it returns must stay O(1)-sized — per-venue data
+    belongs in the side table, never inline in the manifest JSON. A plain
+    dict is recorded as-is."""
     snap = snapshot_id(stage, input_snapshots, params_hash)
 
     # per-partition lineage + metrics on the data as written
@@ -95,7 +108,7 @@ def refresh_manifest(spark: SparkSession, path: str, stage: str,
         "row_count": int(sum(r["rows"] for r in part_counts)),
         "partitions": [{"pid": int(r["pid"]), "rows": int(r["rows"])} for r in part_counts],
         "partition_by": partition_by or [],
-        "stats": (stats_fn(written) if callable(stats_fn)
+        "stats": (stats_fn(written, path) if callable(stats_fn)
                   else (stats_fn or {})),
         "committed": True,
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -152,6 +165,37 @@ def mark_uncommitted(path: str) -> None:
 def read_manifest(path: str) -> dict:
     with open(_manifest_path(path)) as f:
         return json.load(f)
+
+
+def write_venue_stats(stats_df: DataFrame, stage_path: str) -> None:
+    """Overwrite the stage's per-venue stats side table
+    (venue, x0, x1, y0, y1, max_len). localCheckpoint first: an
+    incremental merge READS the old side table it is about to overwrite
+    (self-overwrite would truncate the input mid-scan). Rows are
+    range-partitioned + sorted by x0 so the halo closure's frontier
+    queries get row-group min/max pruning on the x axis at corpus scale."""
+    stats_df = stats_df.localCheckpoint(eager=True)
+    spark = stats_df.sparkSession
+    n = max(1, min(stats_df.count() // 65_536,
+                   spark.sparkContext.defaultParallelism))
+    (stats_df.repartitionByRange(n, "x0").sortWithinPartitions("x0")
+     .write.mode("overwrite")
+     .parquet(os.path.join(stage_path, VENUE_STATS_DIR)))
+
+
+def read_venue_stats(spark: SparkSession, stage_path: str) -> DataFrame | None:
+    """The stage's per-venue stats side table as a LAZY DataFrame, or None
+    when the stage predates side-table stats. Callers filter/join it to
+    the venues a batch needs — the full table never reaches the driver."""
+    sp = os.path.join(stage_path, VENUE_STATS_DIR)
+    # scheme-aware existence probe (os.path.exists is wrong for hdfs://
+    # or s3a:// stage roots, which the incremental path supports)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(sp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(sp)
 
 
 def materialize(df: DataFrame, path: str, stage: str,

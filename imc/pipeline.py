@@ -60,41 +60,60 @@ def _input_fingerprint(pages: DataFrame) -> str:
     return "pages-" + h.hexdigest()[:20]
 
 
-def _segment_stats(df: DataFrame) -> dict:
-    """Per-venue column statistics recorded in the segments-stage manifest
-    (the iceberg-lite analogue of Iceberg per-file column bounds):
-    venue → [x0, x1, y0, y1, max_len] — bbox of all segment endpoints plus
-    the longest segment length. One aggregate over the data being written;
-    downstream they make (a) the incremental venue-locality guard a pure
-    driver-side check (no corpus scan per delta batch) and (b) eps_join's
-    has_long a manifest lookup (no per-run probe job)."""
-    rows = (df.groupBy("venue")
+def _venue_stats_agg(df: DataFrame) -> DataFrame:
+    """LAZY per-venue column statistics over a segments table (the
+    iceberg-lite analogue of Iceberg per-file column bounds):
+    (venue, x0, x1, y0, y1, max_len) — bbox of all segment endpoints plus
+    the longest segment length. Persisted as a parquet SIDE TABLE next to
+    the stage data (manifest.write_venue_stats), never inlined in the
+    manifest JSON (r5: the inline dict made the manifest linear in venue
+    count — the first capacity wall at 10^7+ venues). Downstream: (a) the
+    incremental venue-locality guard queries it lazily, filtered to the
+    batch's venues; (b) eps_join's has_long and hot_cells come from the
+    O(1) manifest summary scalars derived from it."""
+    return (df.groupBy("venue")
             .agg(F.min(F.least("x1", "x2")).alias("x0"),
-                 F.max(F.greatest("x1", "x2")).alias("xm"),
+                 F.max(F.greatest("x1", "x2")).alias("x1"),
                  F.min(F.least("y1", "y2")).alias("y0"),
-                 F.max(F.greatest("y1", "y2")).alias("ym"),
+                 F.max(F.greatest("y1", "y2")).alias("y1"),
                  F.max(F.sqrt((F.col("x2") - F.col("x1"))
                               * (F.col("x2") - F.col("x1"))
                               + (F.col("y2") - F.col("y1"))
-                              * (F.col("y2") - F.col("y1")))).alias("max_len"))
-            .collect())
-    return {"venue_stats": {
-        str(int(r["venue"])): [float(r["x0"]), float(r["xm"]),
-                               float(r["y0"]), float(r["ym"]),
-                               float(r["max_len"])]
-        for r in rows}}
+                              * (F.col("y2") - F.col("y1")))).alias("max_len")))
+
+
+def _stats_summary(stats_df: DataFrame) -> dict:
+    """O(1) manifest-JSON summary of a venue-stats side table: venue count
+    + the global max segment length (drives has_long with the exact
+    predicate the in-join probe evaluates — strict >, same float64)."""
+    row = stats_df.agg(F.count("*").alias("n"),
+                       F.max("max_len").alias("mx")).collect()[0]
+    return {"venue_stats": manifest.VENUE_STATS_DIR,
+            "n_venues": int(row["n"]),
+            "max_len": float(row["mx"]) if row["mx"] is not None else 0.0}
+
+
+def _segments_stats_fn(params: IMCParams):
+    """stats_fn for the segments stage: persist the per-venue stats side
+    table, then record only O(1) scalars in the manifest JSON — n_venues,
+    max_len (→ has_long without a probe job) and the hot-cell key list
+    (→ eps_join salting without a per-call sampling job; capped at
+    joins.HOT_CELLS_CAP, results-invariant by the salted≡unsalted
+    guarantee)."""
+    def fn(written: DataFrame, path: str) -> dict:
+        manifest.write_venue_stats(_venue_stats_agg(written), path)
+        sdf = manifest.read_venue_stats(written.sparkSession, path)
+        return _stats_summary(sdf) | {
+            "hot_cells": joins.hot_cell_keys(written, params)}
+    return fn
 
 
 def _has_long(seg_stats: dict | None, params: IMCParams) -> bool | None:
-    """Manifest-derived eps_join(has_long=...) value: True iff any venue's
-    longest segment exceeds the split threshold — exactly the predicate the
-    in-join probe evaluates (strict >, same float64 lengths), so the plan
-    chosen is identical and the probe job disappears. None (probe) only
-    when the manifest predates per-venue stats."""
-    vs = (seg_stats or {}).get("venue_stats")
-    if vs is None:
+    """Manifest-derived eps_join(has_long=...) value from the max_len
+    summary scalar. None (probe) only when the manifest predates stats."""
+    mx = (seg_stats or {}).get("max_len")
+    if mx is None:
         return None
-    mx = max((s[4] for s in vs.values()), default=0.0)
     return mx > joins.DEFAULT_SPLIT_FACTOR * params.join_cell
 
 
@@ -125,11 +144,12 @@ def run(spark: SparkSession, pages: DataFrame, out_dir: str,
     seg_fn = segments.mdl_segments if use_mdl else segments.raw_segments
     segs, s_seg = stage("segments", seg_fn(pts).withColumn("venue", venue_col),
                         [s_pts], partition_by=["venue"],
-                        stats_fn=_segment_stats)
+                        stats_fn=_segments_stats_fn(params))
     seg_stats = manifest.read_manifest(results["segments"][0]).get("stats")
     pairs, s_pairs = stage(
         "eps_pairs",
-        joins.eps_join(segs, params, has_long=_has_long(seg_stats, params)),
+        joins.eps_join(segs, params, has_long=_has_long(seg_stats, params),
+                       hot_cells=(seg_stats or {}).get("hot_cells")),
         [s_seg])
     assign, s_assign = stage("assignments", dbscan.dbscan(segs, pairs, params),
                              [s_seg, s_pairs])
@@ -286,16 +306,23 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     # land near (or inside) another venue's extent — ε-pairs and DBSCAN
     # components can then span venues. Instead of rejecting such batches,
     # expand the affected set to the BFS closure over the venue-adjacency
-    # graph (extents within gap_bound, from the manifest's per-venue
-    # stats + the batch's own point bboxes). A closure set is closed
+    # graph (extents within gap_bound, from the per-venue stats SIDE
+    # TABLE + the batch's own point bboxes). A closure set is closed
     # under adjacency, so no ε-pair can cross its boundary and any
     # component touching it lies entirely inside it — recomputing the
     # closure wholesale keeps the per-venue merge EXACT even for
     # cross-venue geometry (test-gated against a full recompute). Only a
     # pre-stats base manifest still takes the old scan-and-refuse guard.
-    old_vs = (prev["segments"].get("stats") or {}).get("venue_stats")
+    # r5: stats moved out of the manifest JSON into a lazy parquet side
+    # table — the closure queries it per BFS round filtered to the
+    # frontier's neighborhoods, so the driver only ever holds the
+    # closure's own extents, O(|closure|) not O(venues).
+    old_seg_stats = prev["segments"].get("stats") or {}
+    seg_path = os.path.join(out_dir, "segments")
+    old_vs_df = (manifest.read_venue_stats(spark, seg_path)
+                 if old_seg_stats.get("venue_stats") else None)
     gb = params.gap_bound
-    if old_vs is not None:
+    if old_vs_df is not None:
         # Seed extents are the HULL of each affected venue's OLD and NEW
         # point sets TOGETHER — not the two boxes separately (review r4):
         # a recomputed segment may BRIDGE an old point and a new point,
@@ -309,9 +336,15 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         # cross-venue pairs that must be recomputed away too. One
         # aggregate over the affected venues' points — O(delta·venue).
         seed_ext = _affected_seed_extents(old_points, new_pts, aff_df)
-        closure = _venue_halo_closure(old_vs, seed_ext, set(affected), gb)
+        closure = _venue_halo_closure_lazy(old_vs_df, aff_df, seed_ext,
+                                           set(affected), gb)
         if len(closure) > len(affected):
-            total = len({int(k) for k in old_vs} | closure)
+            # total known venues = side-table count (manifest scalar) +
+            # brand-new venues this batch introduces (one tiny anti-join
+            # over the side table — never a full load)
+            n_new = (aff_df.join(old_vs_df.select("venue"), "venue",
+                                 "left_anti").count())
+            total = int(old_seg_stats.get("n_venues", 0)) + n_new
             limit = max(HALO_MIN_VENUES, int(HALO_VENUE_FRACTION * total))
             if len(closure) > limit:
                 raise ValueError(
@@ -374,32 +407,51 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
                 .withColumn("venue", venue_col)
                 .localCheckpoint(eager=True))
     # per-venue stats of the recomputed affected venues: ONE O(delta)
-    # aggregate that drives (a) the merged segments-manifest stats,
-    # (b) the batch eps_join's has_long
-    new_vs = _segment_stats(new_segs)["venue_stats"]
+    # aggregate (one row per affected venue, bounded by the halo valve)
+    # that drives (a) the merged side-table commit, (b) the batch
+    # eps_join's has_long
+    new_stats_df = _venue_stats_agg(new_segs).localCheckpoint(eager=True)
+    delta_max_len = float(
+        new_stats_df.agg(F.max("max_len")).collect()[0][0] or 0.0)
 
-    # venue-locality: with manifest stats, the halo closure above already
-    # guarantees no ε-pair (or component) crosses the recompute boundary
-    # — zero jobs over the old segments table, O(delta) end-to-end. Only
-    # a pre-stats base manifest pays the one-off broadcast-NLJ scan,
+    # venue-locality: with side-table stats, the halo closure above
+    # already guarantees no ε-pair (or component) crosses the recompute
+    # boundary — the only jobs run are over the venue-stats side table
+    # (one row per venue, metadata scale), never the old corpus. Only a
+    # pre-stats base manifest pays the one-off broadcast-NLJ scan,
     # which REFUSES cross-venue batches (the pre-halo behavior).
-    if old_vs is None:
+    if old_vs_df is None:
         _extent_guard_scan(spark, out_dir, aff_df, new_segs, gb)
 
     points = overwrite_partitions("points", merged_points)
-    merged_vs = ({k: v for k, v in old_vs.items() if int(k) not in set(affected)}
-                 | new_vs if old_vs is not None else None)
-    segs = overwrite_partitions(
-        "segments", new_segs,
-        stats_fn={"venue_stats": merged_vs} if merged_vs is not None
-        else _segment_stats)
+
+    def merged_stats_fn(written: DataFrame, path: str) -> dict:
+        """O(delta) side-table merge: old rows minus affected venues ∪
+        recomputed affected rows (the old table is read lazily and only
+        anti-joined — never loaded driver-side). A pre-stats base
+        recomputes stats over the merged table once (the one-off upgrade
+        scan). hot_cells carry over from the base manifest: heat is a
+        perf-only heuristic (pair set provably salt-invariant) and the
+        halo valve bounds affected venues to a corpus minority, so base
+        heat stays representative."""
+        old_sdf = manifest.read_venue_stats(spark, path)
+        merged = (old_sdf.join(F.broadcast(aff_df), "venue", "left_anti")
+                  .unionByName(new_stats_df)
+                  if old_sdf is not None else _venue_stats_agg(written))
+        manifest.write_venue_stats(merged, path)
+        out = _stats_summary(manifest.read_venue_stats(spark, path))
+        if "hot_cells" in old_seg_stats:
+            out["hot_cells"] = old_seg_stats["hot_cells"]
+        return out
+
+    segs = overwrite_partitions("segments", new_segs,
+                                stats_fn=merged_stats_fn)
     segs_aff = in_aff(segs).localCheckpoint(eager=True)
 
     old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
     # has_long from the delta's own stats (eps_join runs on affected venues
     # only) — no probe job, plan identical to what the probe would pick
-    aff_has_long = (max((s[4] for s in new_vs.values()), default=0.0)
-                    > joins.DEFAULT_SPLIT_FACTOR * params.join_cell)
+    aff_has_long = delta_max_len > joins.DEFAULT_SPLIT_FACTOR * params.join_cell
     new_pairs = joins.eps_join(segs_aff, params, has_long=aff_has_long)
     pairs_tbl = rewrite("eps_pairs",
                         in_aff(old_pairs, key="a_seg", anti=True)
@@ -473,37 +525,105 @@ def _affected_seed_extents(old_points: DataFrame, new_pts: DataFrame,
             for r in rows}
 
 
+class _ExtentIndex:
+    """Sorted-interval sweep over venue extents (VERDICT r04 #1: the
+    per-frontier full-array numpy pass was linear in venue count). Venues
+    are sorted by x0; a query box [qx0,qx1]×[qy0,qy1] expanded by gb can
+    only hit venues with x0 ∈ [qx0 − gb − max_width, qx1 + gb] (max_width
+    = widest venue extent), found by two binary searches; the y test runs
+    only on that window. For spatially spread venues the window is the
+    local neighborhood, not the corpus."""
+
+    def __init__(self, ids: np.ndarray, arr: np.ndarray):
+        order = np.argsort(arr[:, 0], kind="stable") if len(arr) else (
+            np.zeros(0, dtype=np.int64))
+        self.ids = ids[order]
+        self.arr = arr[order]
+        self.x0s = self.arr[:, 0]
+        self.max_w = float((self.arr[:, 1] - self.arr[:, 0]).max()) if len(arr) else 0.0
+
+    def query(self, e: list, gb: float) -> np.ndarray:
+        """Venue ids whose extent is within gb of box e=[x0,x1,y0,y1]."""
+        if not len(self.arr):
+            return self.ids
+        lo = int(np.searchsorted(self.x0s, e[0] - gb - self.max_w, side="left"))
+        hi = int(np.searchsorted(self.x0s, e[1] + gb, side="right"))
+        w = self.arr[lo:hi]
+        hit = ((w[:, 1] >= e[0] - gb)
+               & (w[:, 2] <= e[3] + gb) & (w[:, 3] >= e[2] - gb))
+        return self.ids[lo:hi][hit]
+
+
 def _venue_halo_closure(old_vs: dict, new_ext: dict, affected: set,
                         gb: float) -> set:
     """BFS closure of the affected venues over the venue-adjacency graph:
-    venue extents (manifest stats [x0,x1,y0,y1,...]) within gap_bound of
-    each other are adjacent. Seeds (new_ext) are the affected venues'
-    old∪new point HULLS (_affected_seed_extents — every recomputed
-    segment, bridges included, lies inside them), plus their old
-    manifest extents for belt-and-braces. The result is closed under
-    adjacency, so no ε-pair can cross
-    its boundary and every DBSCAN component that touches it lies wholly
-    inside it (a component's venue set is adjacency-connected) — the
-    foundation of the exact cross-venue incremental merge. Pure driver
-    code over manifest data: one numpy pass per frontier venue; a corpus
-    pushing 10^7+ venues would swap the pass for a sorted interval sweep,
-    same contract."""
+    venue extents ([x0,x1,y0,y1,...]) within gap_bound of each other are
+    adjacent. Seeds (new_ext) are the affected venues' old∪new point
+    HULLS (_affected_seed_extents — every recomputed segment, bridges
+    included, lies inside them), plus their old extents for
+    belt-and-braces. The result is closed under adjacency, so no ε-pair
+    can cross its boundary and every DBSCAN component that touches it
+    lies wholly inside it (a component's venue set is
+    adjacency-connected) — the foundation of the exact cross-venue
+    incremental merge. Pure driver code; per-frontier adjacency is a
+    sorted-interval sweep (r5), not a full-array pass. run_incremental
+    itself uses the side-table twin (_venue_halo_closure_lazy) so the
+    full extent set never reaches the driver; this dict form serves
+    callers that already hold the extents."""
     keys = sorted(old_vs)
     ids = np.asarray([int(k) for k in keys], dtype=np.int64)
     arr = (np.asarray([old_vs[k][:4] for k in keys], dtype=np.float64)
            if keys else np.zeros((0, 4)))
+    idx = _ExtentIndex(ids, arr)
     closure = {int(v) for v in affected}
     frontier = [old_vs[k][:4] for k in (str(v) for v in closure)
                 if k in old_vs]
     frontier += [e[:4] for e in new_ext.values()]
     while frontier:
         e = frontier.pop()
-        hit = ((arr[:, 0] <= e[1] + gb) & (arr[:, 1] >= e[0] - gb)
-               & (arr[:, 2] <= e[3] + gb) & (arr[:, 3] >= e[2] - gb))
-        for vid in ids[hit]:
+        for vid in idx.query(e, gb):
             if int(vid) not in closure:
                 closure.add(int(vid))
                 frontier.append(old_vs[str(int(vid))][:4])
+    return closure
+
+
+def _venue_halo_closure_lazy(old_vs_df: DataFrame, aff_df: DataFrame,
+                             new_ext: dict, affected: set,
+                             gb: float) -> set:
+    """Side-table twin of _venue_halo_closure: same BFS contract, but the
+    venue extents live in the segments stage's parquet side table and are
+    queried PER ROUND, filtered to the frontier's gb-expanded boxes — a
+    broadcast of the (small) frontier against the stats table, collecting
+    only matching venues. The driver holds O(|closure|) extents, never
+    the O(venues) table; rounds = halo chain depth (1-2 for real deltas,
+    bounded by the safety valve)."""
+    spark = old_vs_df.sparkSession
+    closure = {int(v) for v in affected}
+    # belt-and-braces seeds: the affected venues' OLD extents (side-table
+    # lookup filtered to the batch's venues) + the old∪new point hulls
+    seed_rows = (old_vs_df.join(F.broadcast(aff_df), "venue", "left_semi")
+                 .collect())
+    frontier = [[r["x0"], r["x1"], r["y0"], r["y1"]] for r in seed_rows]
+    frontier += [list(e[:4]) for e in new_ext.values()]
+    while frontier:
+        fdf = spark.createDataFrame(
+            [(float(e[0]), float(e[1]), float(e[2]), float(e[3]))
+             for e in frontier],
+            "fx0 double, fx1 double, fy0 double, fy1 double")
+        hits = (old_vs_df.crossJoin(F.broadcast(fdf))
+                .filter((F.col("x0") <= F.col("fx1") + gb)
+                        & (F.col("x1") >= F.col("fx0") - gb)
+                        & (F.col("y0") <= F.col("fy1") + gb)
+                        & (F.col("y1") >= F.col("fy0") - gb))
+                .select("venue", "x0", "x1", "y0", "y1")
+                .dropDuplicates(["venue"])
+                .collect())
+        frontier = []
+        for r in hits:
+            if int(r["venue"]) not in closure:
+                closure.add(int(r["venue"]))
+                frontier.append([r["x0"], r["x1"], r["y0"], r["y1"]])
     return closure
 
 
@@ -574,12 +694,11 @@ def _with_comp_key(assign: DataFrame) -> DataFrame:
 
 
 def _rank_comp_keys(keyed: DataFrame) -> DataFrame:
-    """comp_key → dense canonical cluster_id (row_number over the distinct
-    key set — one row per cluster, same convention as imc.dbscan)."""
-    from pyspark.sql import Window
-    comps = keyed.select("comp_key").distinct()
-    ranked = comps.withColumn(
-        "cluster_id",
-        F.row_number().over(Window.orderBy("comp_key")).cast("long") - 1)
+    """comp_key → dense canonical cluster_id (two-level venue rank over
+    the distinct key set — one row per cluster, the exact same total
+    order and ids as imc.dbscan's rank_components)."""
+    comps = keyed.select(F.col("comp_key").alias("comp")).distinct()
+    ranked = dbscan.rank_components(comps).withColumnRenamed("comp",
+                                                             "comp_key")
     return (keyed.join(F.broadcast(ranked), "comp_key")
             .select("seg_id", "cluster_id", "is_core"))

@@ -384,17 +384,37 @@ def train_split(documents: DataFrame, test_pct: int = 10,
     return documents.select("doc_id", b.alias("bucket"), split.alias("split"))
 
 
-def source_quota(documents: DataFrame, cap: int = 20) -> DataFrame:
+def source_quota(documents: DataFrame, cap: int = 20,
+                 shards: int = 32) -> DataFrame:
     """(doc_id, source, rn) — at most `cap` documents per source, chosen
     deterministically (ascending doc_id): the source-mixing primitive of
-    corpus assembly (cap boilerplate-heavy domains before training). One
-    window shuffle keyed by source; a skewed mega-source is exactly the
-    hot-key case the engine's salting handles elsewhere, but a top-k per
-    key this small is AQE-safe as a plain window."""
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return (documents
+    corpus assembly (cap boilerplate-heavy domains before training).
+
+    EXACT two-phase top-k (VERDICT r04 What's-wrong #1: a single window
+    per source puts a mega-source's entire row set through one task
+    before the rn filter — a genuine straggler when one domain holds a
+    double-digit share of a 100 TB corpus):
+      phase 1 ranks within (source, pmod(hash(doc_id), shards)) and keeps
+        rn1 ≤ cap — the mega-source's rows spread over `shards` tasks,
+        each emitting at most cap survivors;
+      phase 2 re-ranks the ≤ shards×cap survivors per source by doc_id
+        and keeps rn ≤ cap.
+    Exactness: any doc in a source's global doc_id-ascending top-cap is
+    in its shard's top-cap (ranks only shrink under subsetting), so
+    phase 1 never drops a final row — the shard hash only PRUNES, which
+    is why the engine-specific hash never has to match the oracle's.
+    Output is identical to the single-window form for every shard count;
+    the explain-gated test pins the phase-1 exchange to (source, shard)."""
+    shard = F.pmod(F.hash("doc_id"), F.lit(shards))
+    w1 = Window.partitionBy("source", "_shard").orderBy("doc_id")
+    survivors = (documents
+                 .select("doc_id", "source", shard.alias("_shard"))
+                 .withColumn("_rn1", F.row_number().over(w1))
+                 .filter(F.col("_rn1") <= cap))
+    w2 = Window.partitionBy("source").orderBy("doc_id")
+    return (survivors
             .select("doc_id", "source",
-                    F.row_number().over(w).cast("long").alias("rn"))
+                    F.row_number().over(w2).cast("long").alias("rn"))
             .filter(F.col("rn") <= cap))
 
 

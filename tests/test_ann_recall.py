@@ -143,3 +143,65 @@ def test_lsh_multi_candidates_are_sparse(clustered_emb):
     n_probes = probes.select("vec_id").distinct().count()
     full = n_probes * (emb.count() - 1)
     assert cand / full < 0.25, (cand, full)
+
+
+def test_ivf_index_persists_and_reloads_without_retraining(spark, tmp_path):
+    """r5 (VERDICT r04 next-round #3): ivf_index is the WIRED operator —
+    first call trains on the deterministic md5-bucket sample and persists
+    the index manifest; a re-query with the same table loads it with zero
+    Spark jobs and zero retraining; a changed table retrains."""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [rng.normal(size=16).tolist() for _ in range(200)],
+        "label": ["x"] * 200})
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    emb = spark.read.parquet(src)
+    idx_dir = str(tmp_path / "idx")
+
+    cent1 = similarity.ivf_index(emb, idx_dir, n_lists=8, iters=4)
+    assert os.path.exists(os.path.join(idx_dir, similarity.IVF_MANIFEST))
+
+    # second call: no training, no jobs — spy on both
+    orig_train = similarity.train_ivf_centroids
+    orig_collect = DataFrame.collect
+    orig_count = DataFrame.count
+
+    def _boom(*a, **k):
+        raise AssertionError("retrained / ran a job on cached index")
+
+    try:
+        similarity.train_ivf_centroids = _boom
+        DataFrame.collect = _boom
+        DataFrame.count = _boom
+        cent2 = similarity.ivf_index(spark.read.parquet(src), idx_dir,
+                                     n_lists=8, iters=4)
+    finally:
+        similarity.train_ivf_centroids = orig_train
+        DataFrame.collect = orig_collect
+        DataFrame.count = orig_count
+    assert cent2 == cent1
+
+    # changed params ⇒ a different fingerprint ⇒ retrain
+    cent3 = similarity.ivf_index(emb, idx_dir, n_lists=4, iters=4)
+    assert len(cent3) == 4
+
+    # the manifest-loaded centroids feed ann_topk_ivf identically to
+    # directly-trained ones
+    a = similarity.ann_topk_ivf(emb, k=3, probe_mod=50, n_lists=8,
+                                centroids=cent1).toPandas()
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.asarray([list(r["embedding"]) for r in rows])
+    direct = similarity.train_ivf_centroids(mat, 8, 4)
+    b = similarity.ann_topk_ivf(emb, k=3, probe_mod=50, n_lists=8,
+                                centroids=[[float(x) for x in c]
+                                           for c in direct]).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))

@@ -112,3 +112,35 @@ def test_cluster_sse_hand_computed(spark):
     assert got.loc[1, "n_segs"] == 1 and got.loc[1, "sse"] == 0.0
     q = quality.qmeasure(segs, assign)
     assert q == 0.5
+
+
+def test_rank_components_two_level_equals_global_order(spark):
+    """r5 (VERDICT r04 #6): canonical cluster ids come from a rank-within-
+    venue + venue-offset pair — identical ids to a global ascending-comp
+    row_number, with no single-partition window over the cluster set (the
+    row_number window must partition by venue)."""
+    from pyspark.sql import functions as F
+
+    from imc.config import VENUE_STRIDE
+    from imc.segments import SEG_ID_STRIDE
+    stride = SEG_ID_STRIDE * VENUE_STRIDE
+    rng = np.random.default_rng(3)
+    # clusters scattered over 40 venues, several per venue, unsorted input
+    comps = sorted({int(v) * stride + int(o)
+                    for v in rng.integers(0, 40, size=300)
+                    for o in rng.integers(0, 99999, size=3)})
+    rng.shuffle(arr := np.array(comps, dtype=np.int64))
+    df = spark.createDataFrame([(int(c),) for c in arr], "comp long")
+
+    out = dbscan.rank_components(df)
+    got = out.toPandas().sort_values("comp").reset_index(drop=True)
+    assert got["cluster_id"].tolist() == list(range(len(comps)))
+    assert got["comp"].tolist() == comps  # ascending comp ⇔ ascending id
+
+    # plan gate: every row_number window partitions by _v (venue) — the
+    # only global window is the per-venue offset running sum
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                           plan):
+        assert "_v" in spec, plan[:3000]

@@ -314,10 +314,15 @@ def test_incremental_guard_is_driver_side(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(pipeline, "_extent_guard_scan", _boom)
     res = pipeline.run_incremental(spark, new_batch, out, PARAMS)
-    # the merged manifest stats stay complete (unaffected from old manifest
-    # + recomputed affected) — the NEXT batch is driver-side guarded too
+    # the merged stats stay complete (unaffected rows from the old side
+    # table + recomputed affected rows) — the NEXT batch is guarded from
+    # the side table too; the manifest JSON itself stays O(1) (r5: no
+    # inline per-venue dict)
     m2 = manifest.read_manifest(res["segments"][0])
-    assert set(m2["stats"]["venue_stats"]) == {"0"}
+    assert m2["stats"]["venue_stats"] == manifest.VENUE_STATS_DIR
+    assert m2["stats"]["n_venues"] == 1
+    sdf = manifest.read_venue_stats(spark, res["segments"][0])
+    assert {int(r["venue"]) for r in sdf.collect()} == {0}
 
     # strip the stats → the pre-r4 manifest shape → fallback scan fires
     monkeypatch.undo()
@@ -437,3 +442,53 @@ def test_incremental_rejects_torn_and_missing_base(spark, tmp_path):
         pipeline.run_incremental(spark, pages.limit(5), out, PARAMS)
 
     assert not streaming._initialized(str(tmp_path / "fresh"))
+
+
+@pytest.mark.usefixtures("spark")
+def test_venue_stats_side_table_bounded_at_1e5_venues(spark, tmp_path,
+                                                      monkeypatch):
+    """r5 capacity-wall fix (VERDICT r04 next-round #1): per-venue stats
+    live in a parquet side table; the manifest JSON summary stays
+    O(1)-sized, and the lazy halo closure collects only the closure's own
+    extents — never the full 10^5-row table — per batch."""
+    import json
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    # venues on a sparse 1000×100 grid, cells 100 apart (far beyond any
+    # gap bound), extents 4 wide — no two venues are adjacent
+    stats = spark.range(n).select(
+        F.col("id").alias("venue"),
+        (F.col("id") % 1000 * 100.0).alias("x0"),
+        (F.col("id") % 1000 * 100.0 + 4.0).alias("x1"),
+        (F.floor(F.col("id") / 1000) * 100.0).alias("y0"),
+        (F.floor(F.col("id") / 1000) * 100.0 + 4.0).alias("y1"),
+        F.lit(1.0).alias("max_len"))
+    stage = str(tmp_path / "seg_stage")
+    os.makedirs(stage)
+    manifest.write_venue_stats(stats, stage)
+
+    sdf = manifest.read_venue_stats(spark, stage)
+    summary = pipeline._stats_summary(sdf)
+    assert summary["n_venues"] == n
+    assert len(json.dumps(summary)) < 512  # manifest JSON stays O(1)
+
+    # lazy closure: a seed hull spanning venue 0's cell and reaching
+    # venue 1's (x0=100) pulls exactly {0, 1} in — and the driver
+    # collects only a handful of rows doing it
+    aff = spark.createDataFrame([(0,)], "venue long")
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    got = pipeline._venue_halo_closure_lazy(
+        sdf, aff, {"0": [0.0, 104.0, 0.0, 4.0]}, {0}, gb=2.0)
+    assert got == {0, 1}
+    assert sum(collected) < 50, f"closure collected {sum(collected)} rows"

@@ -134,6 +134,32 @@ def test_knn_rank_and_count(spark, seg_df):
     assert (counts == k).all()
     assert len(counts) == n_probes  # fallback guarantees k for every probe
     assert set(got["rank"]) == {1, 2, 3}
+    assert got["settled"].all()  # every fixture probe provably exact
+
+
+def test_knn_unsettled_probes_are_flagged(spark):
+    """r5 (VERDICT r04 #4): a probe whose k-th neighbor lies beyond the
+    round budget's R_max emits its partial top-k with settled=false —
+    truncated results are distinguishable from exact ones."""
+    import pandas as pdd
+    # probe 0 at the origin; one base neighbor adjacent, one 500 units
+    # away (beyond R_0 = gap_bound, the only round when max_rounds=1)
+    pdf = pdd.DataFrame(
+        [(0, 0, 0.0, 0.0, 1.0, 0.0),
+         (1, 0, 0.5, 0.1, 1.5, 0.1),
+         (2, 0, 500.0, 0.0, 501.0, 0.0)],
+        columns=["seg_id", "traj_id", "x1", "y1", "x2", "y2"])
+    segs = spark.createDataFrame(pdf)
+    probe = segs.filter("seg_id = 0")
+
+    trunc = joins.knn_join(probe, segs, k=2, params=PARAMS,
+                           max_rounds=1).toPandas()
+    assert len(trunc) == 1  # only the near neighbor was reachable
+    assert not trunc["settled"].any()
+
+    full = joins.knn_join(probe, segs, k=2, params=PARAMS).toPandas()
+    assert len(full) == 2 and full["settled"].all()
+    assert set(full["b_seg"]) == {1, 2}
 
 
 def test_tile_assignment_many_venues_is_venue_keyed(spark):
