@@ -20,14 +20,11 @@ def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]
     code block is NEITHER a matching header NOR a terminating '## '
     heading, so quoted headings in benchmark output can't truncate the
     sections around them."""
+    fenced = _fenced_flags(lines)
     spans = []
-    fenced = False
     start = None
     for i, ln in enumerate(lines):
-        if ln.lstrip().startswith("```"):
-            fenced = not fenced
-            continue
-        if fenced:
+        if fenced[i]:
             continue
         if start is not None and ln.startswith("## "):
             spans.append((start, i))
@@ -37,6 +34,38 @@ def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]
     if start is not None:
         spans.append((start, len(lines)))
     return spans
+
+
+def _fenced_flags(lines: list[str], skip_dangling: int | None = None
+                  ) -> list[bool]:
+    """Per-line in-a-fenced-block flags. ADVICE r04 hardening: a fence
+    closes only on a MATCHING marker (same char, ≥ opening length — the
+    CommonMark rule), so ``` and ~~~ fences can't flip each other's
+    state; and a fence left dangling at EOF is retried as literal text
+    (one rescan without that opener) instead of marking the rest of the
+    file fenced — which made the target section unmatchable and let
+    duplicates accumulate on every bench run."""
+    flags = [False] * len(lines)
+    fence = None          # (char, length) of the open fence
+    opener_idx = None
+    for i, ln in enumerate(lines):
+        s = ln.lstrip()
+        if s[:3] in ("```", "~~~") and i != skip_dangling:
+            ch = s[0]
+            n = len(s) - len(s.lstrip(ch))
+            if fence is None:
+                fence = (ch, n)
+                opener_idx = i
+                flags[i] = True
+                continue
+            if fence[0] == ch and n >= fence[1]:
+                fence = None
+                flags[i] = True
+                continue
+        flags[i] = fence is not None or i == skip_dangling
+    if fence is not None and skip_dangling is None:
+        return _fenced_flags(lines, skip_dangling=opener_idx)
+    return flags
 
 
 def replace_section(header_prefix: str, new_lines: list[str],

@@ -7,6 +7,14 @@ box's single-shot timings wobble ±15-30%, which round 2 showed is enough
 to manufacture phantom regressions. Per-query spread ((max−min)/median)
 is reported alongside so a real regression is distinguishable from noise.
 
+ADAPTIVE REPS (r5, VERDICT r04 #8): when any query's spread exceeds
+$IMC_BENCH_SPREAD_PCT (default 20) after the base reps, up to
+$IMC_BENCH_MAX_EXTRA (default 2) EXTRA full passes run; medians are
+recomputed over all passes. With ≥5 samples the reported spread is
+TRIMMED — global min and max dropped — so one box hiccup doesn't read
+as steady-state jitter (raw max−min can only grow with more samples);
+"spread_trimmed": true marks when trimming applied.
+
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec (median reps)>, "unit": "sec",
    "queries": {name: median sec, ...}, "spread_pct": {name: pct, ...},
@@ -151,12 +159,32 @@ def main():
     runs = [run_suite(spark, sf_dir, pages_path, pages_sf)
             for _ in range(reps)]
     names = list(runs[0][0])
+
+    def raw_spread(n):
+        ts = [r[0][n] for r in runs]
+        return 100.0 * (max(ts) - min(ts)) / max(statistics.median(ts), 1e-9)
+
+    # adaptive extra passes when any query is noisy (r5)
+    spread_limit = float(os.environ.get("IMC_BENCH_SPREAD_PCT", "20"))
+    max_extra = int(os.environ.get("IMC_BENCH_MAX_EXTRA", "2"))
+    extra = 0
+    while (extra < max_extra and reps > 1
+           and any(raw_spread(n) > spread_limit for n in names)):
+        runs.append(run_suite(spark, sf_dir, pages_path, pages_sf))
+        extra += 1
+
+    trimmed = len(runs) >= 5
     timings = {n: round(statistics.median(r[0][n] for r in runs), 3)
                for n in names}
-    spread = {n: round(100.0 * (max(r[0][n] for r in runs)
-                                - min(r[0][n] for r in runs))
-                       / max(statistics.median(r[0][n] for r in runs), 1e-9), 1)
-              for n in names}
+
+    def spread_pct(n):
+        ts = sorted(r[0][n] for r in runs)
+        if trimmed:
+            ts = ts[1:-1]  # drop the global min/max box hiccups
+        return round(100.0 * (ts[-1] - ts[0])
+                     / max(statistics.median(ts), 1e-9), 1)
+
+    spread = {n: spread_pct(n) for n in names}
     counts = runs[-1][1]
 
     total = round(sum(timings.values()), 3)
@@ -165,12 +193,14 @@ def main():
     out = {
         "metric": "spatial-join + tile-assignment rows/sec "
                   "(full TRACLUS pipeline + corpus ops, wall sec, "
-                  f"median of {reps})",
+                  f"median of {len(runs)})",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "spread_pct": spread,
-        "reps": reps,
+        "spread_trimmed": trimmed,
+        "reps": len(runs),
+        "reps_base": reps,
         "warmup": warmup,
         "sf": sf,
         "pages_sf": pages_sf,

@@ -109,7 +109,16 @@ def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     sum can only OVER-count (extra files in the dir), which errs toward
     skipping the repartition — no forced shuffle on big remote inputs —
     while tiny-file remote dirs still sum small and fan out (review r4:
-    a per-file full-split guess misestimated in both directions)."""
+    a per-file full-split guess misestimated in both directions).
+
+    Non-file inputs repartition UNCONDITIONALLY (ADVICE r04 weighed in-
+    memory inputs that already carry enough partitions): reading their
+    actual partition count requires DataFrame.rdd — eager physical
+    planning, banned by the no-.rdd gate — and every non-file input this
+    engine passes (test frames, localCheckpointed incremental deltas) is
+    delta-sized, so the one extra exchange of a small table buys
+    guaranteed fan-out for the map-side UDF stages. Deliberate, not an
+    oversight."""
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism * factor
     files = df.inputFiles()

@@ -39,16 +39,100 @@ FEATURES_SCHEMA = T.StructType([
 
 
 def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB decode: a real implementation would decode the image/audio and
-    produce pixels/samples. Here: deterministic fake 'pixels' derived from
-    the payload bytes so the downstream feature math is exercised for real.
-    Raise NotImplementedError for media types a real decoder would reject."""
+    """DEFAULT decode: deterministic fake 'pixels' derived from the payload
+    bytes so the downstream feature math is exercised for real on opaque
+    blobs (the driver testdata's documents-as-media adapter). Real decode
+    for actual containers is numpy_decoder below (BMP/WAV, no external
+    libs) — inject it via media_features(decoder=numpy_decoder); PIL/
+    librosa/ffmpeg would slot into the same seam for compressed formats
+    (absent in this environment). Raise NotImplementedError for media
+    types neither path handles."""
     if media_type not in ("image", "audio", "blob"):
         raise NotImplementedError(f"decode for media_type={media_type!r}")
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         arr = np.zeros(1, dtype=np.uint8)
     return arr.astype(np.float64)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode, pure numpy: uncompressed 24-bit BI_RGB BMP
+    (public format: BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded to 4
+    bytes, stored bottom-up, pixels BGR). Returns float64 samples in
+    row-major TOP-DOWN order with channels reordered to RGB — the shape a
+    feature extractor consumes. Loud ValueError on anything that is not
+    this exact container class (a real fleet routes those to a library
+    decoder through the same seam)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, "
+                         f"compression={compression}); only uncompressed "
+                         f"24-bit BI_RGB is decoded natively")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    need = off + stride * height
+    if width <= 0 or len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = (np.frombuffer(payload, dtype=np.uint8, count=stride * height,
+                          offset=off)
+            .reshape(height, stride)[:, :width * 3]
+            .reshape(height, width, 3))
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].astype(np.float64).ravel()  # BGR → RGB
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode, pure numpy: RIFF/WAVE PCM (8-bit unsigned or
+    16-bit signed little-endian), proper chunk walk (fmt may be followed
+    by LIST/fact chunks before data). Returns interleaved samples as
+    float64 — 16-bit as-is, 8-bit recentred to signed. Loud ValueError
+    on non-PCM or malformed containers."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV variant (format={audio_format}, "
+                         f"bits={bits}); only PCM 8/16-bit is decoded "
+                         f"natively")
+    if bits == 16:
+        return np.frombuffer(data[:len(data) & ~1],
+                             dtype="<i2").astype(np.float64)
+    return np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+
+
+def numpy_decoder(payload: bytes, media_type: str) -> np.ndarray:
+    """The no-library REAL decoder for media_features(decoder=...): BMP
+    for 'image', WAV for 'audio' (both parsed in pure numpy above). Other
+    media types raise NotImplementedError — the honest boundary where a
+    compressed-format library would plug into the same seam."""
+    if media_type == "image":
+        return decode_bmp(payload)
+    if media_type == "audio":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"native decode for media_type={media_type!r} (inject a library "
+        f"decoder for compressed formats)")
 
 
 def media_features(media: DataFrame, decoder=None) -> DataFrame:

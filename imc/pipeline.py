@@ -28,6 +28,16 @@ from imc import (corridors, dbscan, extract, joins, manifest, raster,
 from imc.config import VENUE_STRIDE, IMCParams
 
 
+class IncompleteBaseError(ValueError):
+    """run_incremental found a base output with MISSING stage manifests —
+    an initial run was interrupted before completing every stage. A
+    dedicated type (ADVICE r04: streaming's first-wave crash recovery
+    used to dispatch on the message substring 'has no manifest', so any
+    rewording silently disabled recovery and wedged the stream on
+    replay); imc.streaming catches this type, everything else stays a
+    loud ValueError."""
+
+
 def _input_fingerprint(pages: DataFrame) -> str:
     """Content-address the pipeline ROOT from the actual input: the
     canonicalized logical-plan string hash PLUS file list + sizes + mtimes.
@@ -263,7 +273,7 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         try:
             prev[name] = manifest.read_manifest(os.path.join(out_dir, name))
         except (OSError, ValueError) as e:
-            raise ValueError(
+            raise IncompleteBaseError(
                 f"stage '{name}' has no manifest — the base output is "
                 f"incomplete (an initial run was interrupted); rerun the "
                 f"full pipeline over the base input (resume completes the "

@@ -90,7 +90,7 @@ def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
             return
         try:
             pipeline.run_incremental(spark, batch_df, out_dir, params)
-        except ValueError as e:
+        except pipeline.IncompleteBaseError:
             # ADVICE r03: a FIRST wave that crashed after the points stage
             # committed but before later stages leaves a base that is
             # "initialized" (points manifest exists) yet incomplete —
@@ -102,9 +102,10 @@ def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
             # rebuilding the base from this batch is exact — fall through
             # to pipeline.run. Any other state (file-backed half-built
             # base, wave-N crash, torn incremental snapshot →
-            # 'uncommitted') stays a loud error.
-            if ("has no manifest" in str(e)
-                    and _points_written_by_stream_first_wave(out_dir)):
+            # 'uncommitted') stays a loud error. Dispatch is on the
+            # DEDICATED exception type (ADVICE r04: a message-substring
+            # match broke silently under rewording).
+            if _points_written_by_stream_first_wave(out_dir):
                 pipeline.run(spark, batch_df, out_dir, params)
             else:
                 raise

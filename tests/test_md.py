@@ -56,3 +56,30 @@ def test_replace_section_appends_when_absent_and_dedupes(tmp_path):
     assert text.count("## Dup") == 1 and "old1" not in text and "old2" not in text
     replace_section("## New", ["## New", "n1"], path=p)
     assert "## New\nn1" in open(p).read()
+
+
+def test_replace_section_recovers_from_dangling_fence(tmp_path):
+    """ADVICE r04: an unclosed fence must not mark the rest of the file
+    fenced — the target section stays matchable and duplicates do not
+    accumulate across runs."""
+    p = str(tmp_path / "b.md")
+    _write(p, "## Alpha\n```\ndangling fence, never closed\n\n## Beta\nb1\n")
+    replace_section("## Beta", ["## Beta", "b2"], path=p)
+    text = open(p).read()
+    assert "b2" in text and "b1" not in text
+    assert text.count("## Beta") == 1
+    # idempotent on rerun
+    replace_section("## Beta", ["## Beta", "b3"], path=p)
+    assert open(p).read().count("## Beta") == 1
+
+
+def test_replace_section_mixed_fence_markers(tmp_path):
+    """ADVICE r04: ``` and ~~~ fences must not flip each other's state;
+    a ~~~ fence shields quoted headings just like ```."""
+    p = str(tmp_path / "b.md")
+    _write(p, "## Alpha\n~~~\n## Beta\nquoted\n~~~\n```\n~~~ not a closer\n"
+              "```\na2\n\n## Beta\nreal\n")
+    replace_section("## Beta", ["## Beta", "new"], path=p)
+    text = open(p).read()
+    assert "quoted" in text and "a2" in text and "~~~ not a closer" in text
+    assert "new" in text and "real" not in text

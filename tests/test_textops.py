@@ -375,3 +375,88 @@ def test_media_features_decoder_swap_seam(spark):
     # default stub still runs (deterministic fake pixels)
     dflt = multimodal.media_features(media).toPandas()
     assert len(dflt) == 2
+
+
+def _bmp_bytes(rgb: np.ndarray) -> bytes:
+    """Hand-assembled uncompressed 24-bit BI_RGB BMP from an HxWx3 uint8
+    RGB array (top-down logical order): rows stored bottom-up, BGR,
+    4-byte padded — the real container layout."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in rgb[::-1]:                      # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])  # BGR
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little")
+              + b"\x00" * 4 + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return bytes(header) + bytes(body)
+
+
+def _wav_bytes(samples: list[int]) -> bytes:
+    """Hand-assembled RIFF/WAVE PCM-16 mono container, with a decoy LIST
+    chunk between fmt and data (the chunk walk must skip it)."""
+    data = b"".join(int(s).to_bytes(2, "little", signed=True)
+                    for s in samples)
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    chunks = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+              + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+              + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_numpy_decoder_real_formats_end_to_end(spark):
+    """r5 (VERDICT r04 next-round #7): the multimodal seam carries a REAL
+    no-library decoder — uncompressed BMP and PCM WAV parsed in pure
+    numpy — exercised end-to-end through media_features on hand-
+    computable fixtures."""
+    rgb = np.array([[[255, 0, 0], [0, 128, 0], [0, 0, 64]],
+                    [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+                   dtype=np.uint8)  # 2 rows × 3 cols (stride padding hits)
+    wav_samples = [-32768, -2, 0, 5, 100, 32767]
+
+    # decode functions directly: exact sample recovery, exact order
+    px = multimodal.decode_bmp(_bmp_bytes(rgb))
+    assert px.tolist() == rgb.astype(np.float64).ravel().tolist()
+    au = multimodal.decode_wav(_wav_bytes(wav_samples))
+    assert au.tolist() == [float(s) for s in wav_samples]
+
+    # end-to-end through the Spark seam: features = stats of REAL samples
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "media_type": ["image", "audio"],
+                        "payload": [_bmp_bytes(rgb), _wav_bytes(wav_samples)]})
+    out = (multimodal.media_features(spark.createDataFrame(pdf),
+                                     decoder=multimodal.numpy_decoder)
+           .toPandas().set_index("doc_id"))
+    flat = rgb.astype(np.float64).ravel()
+    np.testing.assert_allclose(
+        out.loc[1, "feature"],
+        [flat.mean(), flat.std(), flat.min(), flat.max()])
+    aud = np.asarray(wav_samples, dtype=np.float64)
+    np.testing.assert_allclose(
+        out.loc[2, "feature"],
+        [aud.mean(), aud.std(), aud.min(), aud.max()])
+
+    # loud on everything outside the native container class
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"nope")
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(_bmp_bytes(rgb))
+        bad[30] = 1  # compression = BI_RLE8
+        multimodal.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        bad = bytearray(_wav_bytes(wav_samples))
+        bad[20] = 3  # fmt chunk body: audio_format = IEEE float
+        multimodal.decode_wav(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        multimodal.numpy_decoder(b"x", "video")
