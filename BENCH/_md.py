@@ -36,21 +36,24 @@ def _section_spans(lines: list[str], header_prefix: str) -> list[tuple[int, int]
     return spans
 
 
-def _fenced_flags(lines: list[str], skip_dangling: int | None = None
-                  ) -> list[bool]:
+def _fenced_flags(lines: list[str],
+                  skip: frozenset = frozenset()) -> list[bool]:
     """Per-line in-a-fenced-block flags. ADVICE r04 hardening: a fence
     closes only on a MATCHING marker (same char, ≥ opening length — the
     CommonMark rule), so ``` and ~~~ fences can't flip each other's
-    state; and a fence left dangling at EOF is retried as literal text
-    (one rescan without that opener) instead of marking the rest of the
-    file fenced — which made the target section unmatchable and let
-    duplicates accumulate on every bench run."""
+    state; and EVERY fence left dangling at EOF is retried as literal
+    text (rescan without that opener, repeated until no dangler remains —
+    review r5: a single retry let a second stray opener re-poison the
+    file) instead of marking the rest of the file fenced — which made
+    the target section unmatchable and let duplicates accumulate on
+    every bench run. Terminates: each rescan permanently demotes one
+    distinct marker line."""
     flags = [False] * len(lines)
     fence = None          # (char, length) of the open fence
     opener_idx = None
     for i, ln in enumerate(lines):
         s = ln.lstrip()
-        if s[:3] in ("```", "~~~") and i != skip_dangling:
+        if s[:3] in ("```", "~~~") and i not in skip:
             ch = s[0]
             n = len(s) - len(s.lstrip(ch))
             if fence is None:
@@ -62,9 +65,9 @@ def _fenced_flags(lines: list[str], skip_dangling: int | None = None
                 fence = None
                 flags[i] = True
                 continue
-        flags[i] = fence is not None or i == skip_dangling
-    if fence is not None and skip_dangling is None:
-        return _fenced_flags(lines, skip_dangling=opener_idx)
+        flags[i] = fence is not None or i in skip
+    if fence is not None:
+        return _fenced_flags(lines, skip | {opener_idx})
     return flags
 
 

@@ -492,33 +492,37 @@ def _ivf_centroids(sf_dir: str) -> list:
         import pyarrow.parquet as pq
         pf = pq.ParquetFile(path)
         n = pf.metadata.num_rows
-        # 100 TB posture (ADVICE r04): the row cap bounds the READ, not
-        # just the k-means input — row groups are streamed and strided
-        # BEFORE concatenation, so driver memory holds ~cap rows, and
-        # Arrow→numpy avoids to_pylist. Stride keeps every cap-th row of
-        # the id-sorted table (FAISS-style deterministic sample); no
-        # effect at the driver's correctness scales (n ≤ cap there), so
+        # 100 TB posture (ADVICE r04): the row cap bounds what the driver
+        # HOLDS — ids are read alone first (8 B/row), the stride is taken
+        # over the ID-SORTED order (the pinned convention: every
+        # stride-th row of the id-sorted table — review r5 caught a
+        # file-order stride, a different sample whenever the file isn't
+        # physically id-sorted), then ONLY the ~cap selected embeddings
+        # stream out of the row groups; Arrow→numpy, no to_pylist. No
+        # effect at the driver's correctness scales (stride=1 there), so
         # oracle literals are unchanged.
         cap = 100_000
         stride = max(1, -(-n // cap))
+        ids_full = (pq.read_table(path, columns=["vec_id"])
+                    .column("vec_id").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        keep = np.zeros(n, dtype=bool)
+        keep[np.argsort(ids_full, kind="stable")[::stride]] = True
         ids_parts, mat_parts = [], []
         seen = 0
         for rg in range(pf.num_row_groups):
-            t = pf.read_row_group(rg, columns=["vec_id", "embedding"])
-            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-            emb = t.column("embedding")
-            # first index of this row group in the global stride pattern
-            take = np.arange((-seen) % stride, len(ids), stride)
-            seen += len(ids)
-            if not len(take):
-                continue
-            ids_parts.append(np.asarray(ids, dtype=np.int64)[take])
-            # flatten() (not .values) — it respects list-array offsets
-            flat = emb.combine_chunks().flatten().to_numpy(
-                zero_copy_only=False)
-            dim = len(flat) // len(ids)
-            mat_parts.append(np.asarray(flat, dtype=np.float64)
-                             .reshape(len(ids), dim)[take])
+            t = pf.read_row_group(rg, columns=["embedding"])
+            m = t.num_rows
+            take = np.nonzero(keep[seen:seen + m])[0]
+            if len(take):
+                # flatten() (not .values) — it respects list-array offsets
+                flat = (t.column("embedding").combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False))
+                dim = len(flat) // m
+                mat_parts.append(np.asarray(flat, dtype=np.float64)
+                                 .reshape(m, dim)[take])
+                ids_parts.append(ids_full[seen + take])
+            seen += m
         ids = np.concatenate(ids_parts)
         mat = np.concatenate(mat_parts, axis=0)
         mat = mat[np.argsort(ids, kind="stable")]

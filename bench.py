@@ -164,14 +164,16 @@ def main():
         ts = [r[0][n] for r in runs]
         return 100.0 * (max(ts) - min(ts)) / max(statistics.median(ts), 1e-9)
 
-    # adaptive extra passes when any query is noisy (r5)
+    # adaptive extra passes when any query is noisy (r5): one decision
+    # after the base reps, not a per-pass re-check — raw max−min can only
+    # grow as runs append, so re-evaluating it each pass was dead logic
+    # (review r5); the extra samples exist to make the trimmed median
+    # robust, and trimming needs all of them anyway
     spread_limit = float(os.environ.get("IMC_BENCH_SPREAD_PCT", "20"))
     max_extra = int(os.environ.get("IMC_BENCH_MAX_EXTRA", "2"))
-    extra = 0
-    while (extra < max_extra and reps > 1
-           and any(raw_spread(n) > spread_limit for n in names)):
-        runs.append(run_suite(spark, sf_dir, pages_path, pages_sf))
-        extra += 1
+    if reps > 1 and any(raw_spread(n) > spread_limit for n in names):
+        for _ in range(max_extra):
+            runs.append(run_suite(spark, sf_dir, pages_path, pages_sf))
 
     trimmed = len(runs) >= 5
     timings = {n: round(statistics.median(r[0][n] for r in runs), 3)

@@ -362,17 +362,29 @@ def _split_bbox_cover(segs: DataFrame, g: float, r: float,
             .drop("_ix", "_iy", "_i", "_n"))
 
 
+def _short_class(segs: DataFrame, g: float, split_factor: float) -> DataFrame:
+    """Segments at or below the split-long threshold — THE classification
+    shared by eps_join's branch split, its heat sampling, and
+    hot_cell_keys (one predicate, no copies to desynchronize)."""
+    if split_factor <= 0:
+        return segs
+    ln = _hyp(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
+    return segs.filter(ln <= F.lit(split_factor * g))
+
+
 def _hot_cells(segs: DataFrame, g: float, r: float, factor: float) -> DataFrame:
-    """Cells whose cover count exceeds factor × mean — the cheap pre-pass
-    that drives salting (SURVEY.md §2.4 skew row). Runs on a 10% sample
-    (seeded, deterministic) and is pure SQL now that the cover is; relative
-    hotness is what matters, and a hot cell holding a constant fraction of
-    rows stays hot under uniform sampling."""
+    """(cell, n) for cells whose cover count exceeds factor × mean — the
+    cheap pre-pass that drives salting (SURVEY.md §2.4 skew row). Runs on
+    a 10% sample (seeded, deterministic) and is pure SQL now that the
+    cover is; relative hotness is what matters, and a hot cell holding a
+    constant fraction of rows stays hot under uniform sampling. The ONE
+    implementation of the heat heuristic — eps_join's in-plan sampling
+    and hot_cell_keys' manifest materialization both call it."""
     sample = segs.sample(fraction=0.1, seed=42)
     counts = (_bbox_cover(sample, g, r)
               .groupBy("cell").agg(F.count("*").alias("n")))
     mean = counts.agg(F.avg("n")).collect()[0][0] or 0.0
-    return counts.filter(F.col("n") > factor * mean).select("cell")
+    return counts.filter(F.col("n") > factor * mean)
 
 
 # manifest hot-cell lists are capped at the hottest this-many cells: the
@@ -392,20 +404,13 @@ def hot_cell_keys(segments: DataFrame, params: IMCParams | None = None,
     identical for any hot set (salting replicates, never drops — salted ≡
     unsalted is test-gated), so a stale, truncated, or differently-sampled
     list can never change results — which is what makes persisting it in
-    a manifest sound. Sampled over the SHORT class (the salted PBSM
-    join's input), same classification eps_join applies at the default
-    split_factor."""
+    a manifest sound. Delegates to the same _hot_cells/_short_class pair
+    eps_join uses, so the two paths cannot drift."""
     params = params or IMCParams()
     g = params.join_cell
     r = params.gap_bound / 2.0
-    segs = segments.select("seg_id", *_COORDS)
-    if split_factor > 0:
-        ln = _hyp(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
-        segs = segs.filter(ln <= F.lit(split_factor * g))
-    counts = (_bbox_cover(segs.sample(fraction=0.1, seed=42), g, r)
-              .groupBy("cell").agg(F.count("*").alias("n")))
-    mean = counts.agg(F.avg("n")).collect()[0][0] or 0.0
-    rows = (counts.filter(F.col("n") > params.hot_cell_factor * mean)
+    short = _short_class(segments.select("seg_id", *_COORDS), g, split_factor)
+    rows = (_hot_cells(short, g, r, params.hot_cell_factor)
             .orderBy(F.desc("n"), "cell").limit(limit).collect())
     return sorted(int(r["cell"]) for r in rows)
 
@@ -466,7 +471,7 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
             # heat sampled over the short class only — it alone feeds the
             # salted PBSM join (and keeps the sample cover away from the
             # quadratic long-bbox case)
-            hot = _hot_cells(short, g, r, params.hot_cell_factor)
+            hot = _hot_cells(short, g, r, params.hot_cell_factor).select("cell")
         else:
             hot = segments.sparkSession.createDataFrame(
                 [(int(c),) for c in hot_cells], "cell long")

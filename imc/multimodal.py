@@ -102,6 +102,12 @@ def decode_wav(payload: bytes) -> np.ndarray:
         cid = payload[pos:pos + 4]
         sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
         body = payload[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            # review r5: a declared chunk size overrunning the payload is
+            # a cut-off transfer — silently decoding the partial samples
+            # would hand downstream plausible-looking features
+            raise ValueError(f"truncated WAV chunk {cid!r} (declares {sz} "
+                             f"bytes, {len(body)} present)")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

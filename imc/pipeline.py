@@ -19,7 +19,6 @@ import os
 import uuid
 from contextlib import contextmanager
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -329,8 +328,20 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     # closure's own extents, O(|closure|) not O(venues).
     old_seg_stats = prev["segments"].get("stats") or {}
     seg_path = os.path.join(out_dir, "segments")
+    old_vs_raw = old_seg_stats.get("venue_stats")
     old_vs_df = (manifest.read_venue_stats(spark, seg_path)
-                 if old_seg_stats.get("venue_stats") else None)
+                 if old_vs_raw else None)
+    if old_vs_df is None and isinstance(old_vs_raw, dict):
+        # pre-side-table base (r4 format: per-venue stats inline in the
+        # manifest JSON) — adapt to a DataFrame once so the halo closure
+        # keeps working across the format upgrade (review r5: without
+        # this, cross-venue deltas r4 merged exactly were refused by the
+        # fallback scan). The next commit writes the side table.
+        old_vs_df = spark.createDataFrame(
+            [(int(k), float(v[0]), float(v[1]), float(v[2]), float(v[3]),
+              float(v[4])) for k, v in old_vs_raw.items()],
+            "venue long, x0 double, x1 double, y0 double, y1 double, "
+            "max_len double")
     gb = params.gap_bound
     if old_vs_df is not None:
         # Seed extents are the HULL of each affected venue's OLD and NEW
@@ -354,7 +365,10 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
             # over the side table — never a full load)
             n_new = (aff_df.join(old_vs_df.select("venue"), "venue",
                                  "left_anti").count())
-            total = int(old_seg_stats.get("n_venues", 0)) + n_new
+            n_old = int(old_seg_stats.get(
+                "n_venues",
+                len(old_vs_raw) if isinstance(old_vs_raw, dict) else 0))
+            total = n_old + n_new
             limit = max(HALO_MIN_VENUES, int(HALO_VENUE_FRACTION * total))
             if len(closure) > limit:
                 raise ValueError(
@@ -460,9 +474,14 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
 
     old_pairs = manifest.read_stage(spark, os.path.join(out_dir, "eps_pairs"))
     # has_long from the delta's own stats (eps_join runs on affected venues
-    # only) — no probe job, plan identical to what the probe would pick
+    # only) — no probe job, plan identical to what the probe would pick;
+    # hot cells carried over from the base manifest (review r5: the delta
+    # eps_join otherwise paid the per-batch sampling job run() eliminated;
+    # base heat is representative — the valve bounds affected venues to a
+    # minority — and any hot set is results-correct)
     aff_has_long = delta_max_len > joins.DEFAULT_SPLIT_FACTOR * params.join_cell
-    new_pairs = joins.eps_join(segs_aff, params, has_long=aff_has_long)
+    new_pairs = joins.eps_join(segs_aff, params, has_long=aff_has_long,
+                               hot_cells=old_seg_stats.get("hot_cells"))
     pairs_tbl = rewrite("eps_pairs",
                         in_aff(old_pairs, key="a_seg", anti=True)
                         .unionByName(align(new_pairs, old_pairs)))
@@ -535,79 +554,29 @@ def _affected_seed_extents(old_points: DataFrame, new_pts: DataFrame,
             for r in rows}
 
 
-class _ExtentIndex:
-    """Sorted-interval sweep over venue extents (VERDICT r04 #1: the
-    per-frontier full-array numpy pass was linear in venue count). Venues
-    are sorted by x0; a query box [qx0,qx1]×[qy0,qy1] expanded by gb can
-    only hit venues with x0 ∈ [qx0 − gb − max_width, qx1 + gb] (max_width
-    = widest venue extent), found by two binary searches; the y test runs
-    only on that window. For spatially spread venues the window is the
-    local neighborhood, not the corpus."""
-
-    def __init__(self, ids: np.ndarray, arr: np.ndarray):
-        order = np.argsort(arr[:, 0], kind="stable") if len(arr) else (
-            np.zeros(0, dtype=np.int64))
-        self.ids = ids[order]
-        self.arr = arr[order]
-        self.x0s = self.arr[:, 0]
-        self.max_w = float((self.arr[:, 1] - self.arr[:, 0]).max()) if len(arr) else 0.0
-
-    def query(self, e: list, gb: float) -> np.ndarray:
-        """Venue ids whose extent is within gb of box e=[x0,x1,y0,y1]."""
-        if not len(self.arr):
-            return self.ids
-        lo = int(np.searchsorted(self.x0s, e[0] - gb - self.max_w, side="left"))
-        hi = int(np.searchsorted(self.x0s, e[1] + gb, side="right"))
-        w = self.arr[lo:hi]
-        hit = ((w[:, 1] >= e[0] - gb)
-               & (w[:, 2] <= e[3] + gb) & (w[:, 3] >= e[2] - gb))
-        return self.ids[lo:hi][hit]
-
-
-def _venue_halo_closure(old_vs: dict, new_ext: dict, affected: set,
-                        gb: float) -> set:
-    """BFS closure of the affected venues over the venue-adjacency graph:
-    venue extents ([x0,x1,y0,y1,...]) within gap_bound of each other are
-    adjacent. Seeds (new_ext) are the affected venues' old∪new point
-    HULLS (_affected_seed_extents — every recomputed segment, bridges
-    included, lies inside them), plus their old extents for
-    belt-and-braces. The result is closed under adjacency, so no ε-pair
-    can cross its boundary and every DBSCAN component that touches it
-    lies wholly inside it (a component's venue set is
-    adjacency-connected) — the foundation of the exact cross-venue
-    incremental merge. Pure driver code; per-frontier adjacency is a
-    sorted-interval sweep (r5), not a full-array pass. run_incremental
-    itself uses the side-table twin (_venue_halo_closure_lazy) so the
-    full extent set never reaches the driver; this dict form serves
-    callers that already hold the extents."""
-    keys = sorted(old_vs)
-    ids = np.asarray([int(k) for k in keys], dtype=np.int64)
-    arr = (np.asarray([old_vs[k][:4] for k in keys], dtype=np.float64)
-           if keys else np.zeros((0, 4)))
-    idx = _ExtentIndex(ids, arr)
-    closure = {int(v) for v in affected}
-    frontier = [old_vs[k][:4] for k in (str(v) for v in closure)
-                if k in old_vs]
-    frontier += [e[:4] for e in new_ext.values()]
-    while frontier:
-        e = frontier.pop()
-        for vid in idx.query(e, gb):
-            if int(vid) not in closure:
-                closure.add(int(vid))
-                frontier.append(old_vs[str(int(vid))][:4])
-    return closure
-
-
 def _venue_halo_closure_lazy(old_vs_df: DataFrame, aff_df: DataFrame,
                              new_ext: dict, affected: set,
                              gb: float) -> set:
-    """Side-table twin of _venue_halo_closure: same BFS contract, but the
-    venue extents live in the segments stage's parquet side table and are
-    queried PER ROUND, filtered to the frontier's gb-expanded boxes — a
-    broadcast of the (small) frontier against the stats table, collecting
-    only matching venues. The driver holds O(|closure|) extents, never
-    the O(venues) table; rounds = halo chain depth (1-2 for real deltas,
-    bounded by the safety valve)."""
+    """BFS closure of the affected venues over the venue-adjacency graph:
+    venue extents within gap_bound of each other are adjacent. Seeds
+    (new_ext) are the affected venues' old∪new point HULLS
+    (_affected_seed_extents — every recomputed segment, bridges included,
+    lies inside them), plus their old extents for belt-and-braces. The
+    result is closed under adjacency, so no ε-pair can cross its boundary
+    and every DBSCAN component that touches it lies wholly inside it (a
+    component's venue set is adjacency-connected) — the foundation of the
+    exact cross-venue incremental merge.
+
+    THE one closure implementation (review r5 deleted the numpy dict
+    twin — two encodings of the adjacency invariant would drift). The
+    venue extents live in the segments stage's parquet side table,
+    queried PER ROUND: a literal bbox prefilter from the frontier's hull
+    (pushes to the scan — the side table is range-partitioned/sorted by
+    x0, so row groups outside the frontier's x-range prune) and then the
+    exact per-box overlap test against the broadcast frontier. Only
+    matching venues are collected: the driver holds O(|closure|)
+    extents, never the O(venues) table; rounds = halo chain depth (1-2
+    for real deltas, bounded by the safety valve)."""
     spark = old_vs_df.sparkSession
     closure = {int(v) for v in affected}
     # belt-and-braces seeds: the affected venues' OLD extents (side-table
@@ -615,13 +584,18 @@ def _venue_halo_closure_lazy(old_vs_df: DataFrame, aff_df: DataFrame,
     seed_rows = (old_vs_df.join(F.broadcast(aff_df), "venue", "left_semi")
                  .collect())
     frontier = [[r["x0"], r["x1"], r["y0"], r["y1"]] for r in seed_rows]
-    frontier += [list(e[:4]) for e in new_ext.values()]
+    frontier += [list(map(float, e[:4])) for e in new_ext.values()]
     while frontier:
         fdf = spark.createDataFrame(
             [(float(e[0]), float(e[1]), float(e[2]), float(e[3]))
              for e in frontier],
             "fx0 double, fx1 double, fy0 double, fy1 double")
-        hits = (old_vs_df.crossJoin(F.broadcast(fdf))
+        pruned = old_vs_df.filter(
+            (F.col("x0") <= max(e[1] for e in frontier) + gb)
+            & (F.col("x1") >= min(e[0] for e in frontier) - gb)
+            & (F.col("y0") <= max(e[3] for e in frontier) + gb)
+            & (F.col("y1") >= min(e[2] for e in frontier) - gb))
+        hits = (pruned.crossJoin(F.broadcast(fdf))
                 .filter((F.col("x0") <= F.col("fx1") + gb)
                         & (F.col("x1") >= F.col("fx0") - gb)
                         & (F.col("y0") <= F.col("fy1") + gb)

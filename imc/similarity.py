@@ -234,8 +234,11 @@ def _ivf_fingerprint(embeddings: DataFrame, n_lists: int, iters: int,
                      sample_n: int) -> str | None:
     """Content identity of a trained IVF index: input file listing +
     sizes + mtimes + training params (the same resume rule the stage
-    manifests use). None for in-memory inputs — no stable identity ⟹
-    retrain per call."""
+    manifests use). None — no stable identity ⟹ retrain per call — for
+    in-memory inputs AND for any file os.stat can't reach (review r5:
+    hashing bare names for remote hdfs://s3a:// paths would serve a
+    STALE index after an in-place rewrite under the same object names;
+    for an index, retraining is the safe failure)."""
     import hashlib
     import os as _os
     files = sorted(embeddings.inputFiles())
@@ -247,9 +250,9 @@ def _ivf_fingerprint(embeddings: DataFrame, n_lists: int, iters: int,
             f[5:] if f.startswith("file:") else f)
         try:
             st = _os.stat(local)
-            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
         except OSError:
-            h.update(f.encode())
+            return None
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
     return h.hexdigest()[:24]
 
 

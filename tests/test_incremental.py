@@ -247,29 +247,36 @@ def test_incremental_halo_valve_and_prestats_fallback(spark, tmp_path,
         pipeline.run_incremental(spark, batch, out, PARAMS)
 
 
-def test_venue_halo_closure_chain():
-    """Pure-driver closure: adjacency must CHAIN (A near B near C pulls C
+@pytest.mark.usefixtures("spark")
+def test_venue_halo_closure_chain(spark):
+    """Closure semantics (on the ONE production implementation — the
+    side-table lazy BFS): adjacency must CHAIN (A near B near C pulls C
     in even when A and C are far apart) and stop at genuine gaps."""
     # venues 0..9 in a chain 5 apart (extent width 4, gap 1 ≤ gb) then a
     # far venue 20
     old_vs = {str(i): [i * 5.0, i * 5.0 + 4.0, 0.0, 4.0, 1.0]
               for i in range(10)}
     old_vs["20"] = [1000.0, 1004.0, 0.0, 4.0, 1.0]
-    got = pipeline._venue_halo_closure(old_vs, {}, {3}, gb=2.0)
-    assert got == set(range(10))
+
+    def closure(new_ext, affected, gb):
+        vs_df = spark.createDataFrame(
+            [(int(k), *map(float, v)) for k, v in old_vs.items()],
+            "venue long, x0 double, x1 double, y0 double, y1 double, "
+            "max_len double")
+        aff = spark.createDataFrame([(int(v),) for v in sorted(affected)],
+                                    "venue long")
+        return pipeline._venue_halo_closure_lazy(vs_df, aff, new_ext,
+                                                 affected, gb)
+
+    assert closure({}, {3}, gb=2.0) == set(range(10))
     # gap bound too small to bridge the 1-unit gaps → no expansion
-    got2 = pipeline._venue_halo_closure(old_vs, {}, {3}, gb=0.5)
-    assert got2 == {3}
+    assert closure({}, {3}, gb=0.5) == {3}
     # new extents seed expansion even for a brand-new venue id
-    got3 = pipeline._venue_halo_closure(
-        old_vs, {"99": [999.0, 999.5, 0.0, 4.0]}, {99}, gb=2.0)
-    assert got3 == {99, 20}
+    assert closure({"99": [999.0, 999.5, 0.0, 4.0]}, {99}, gb=2.0) == {99, 20}
     # a HULL seed spanning old and new geometry pulls in every venue
     # lying BETWEEN them (the bridge-segment corridor, review r4) even
     # at a gap bound too small to chain venue-to-venue
-    got4 = pipeline._venue_halo_closure(
-        old_vs, {"0": [0.0, 47.0, 0.0, 4.0]}, {0}, gb=0.5)
-    assert got4 == set(range(10))
+    assert closure({"0": [0.0, 47.0, 0.0, 4.0]}, {0}, gb=0.5) == set(range(10))
 
 
 @pytest.mark.usefixtures("spark")
@@ -492,3 +499,47 @@ def test_venue_stats_side_table_bounded_at_1e5_venues(spark, tmp_path,
         sdf, aff, {"0": [0.0, 104.0, 0.0, 4.0]}, {0}, gb=2.0)
     assert got == {0, 1}
     assert sum(collected) < 50, f"closure collected {sum(collected)} rows"
+
+
+@pytest.mark.usefixtures("spark")
+def test_incremental_r4_inline_stats_base_still_halo_merges(spark, tmp_path):
+    """Format-upgrade path (review r5): a base committed by the previous
+    revision carries per-venue stats INLINE in the manifest JSON and has
+    no _venue_stats side table. The halo closure must still work (adapter
+    builds the extent DataFrame from the dict) — a cross-venue delta
+    merges exactly instead of being refused — and the commit upgrades the
+    base to the side-table format."""
+    import json
+    import shutil as sh
+    pages = spark.read.parquet(gen_pages.ensure_pages(sf=0.001))  # venue 0
+    out = str(tmp_path / "r4base")
+    pipeline.run(spark, pages, out, PARAMS)
+
+    # rewrite the segments manifest into the r4 shape: inline dict stats,
+    # no side table
+    seg_dir = os.path.join(out, "segments")
+    sdf = manifest.read_venue_stats(spark, seg_dir)
+    inline = {str(int(r["venue"])): [r["x0"], r["x1"], r["y0"], r["y1"],
+                                     r["max_len"]] for r in sdf.collect()}
+    mp = os.path.join(seg_dir, manifest.MANIFEST_NAME)
+    with open(mp) as f:
+        m = json.load(f)
+    m["stats"] = {"venue_stats": inline}
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    sh.rmtree(os.path.join(seg_dir, manifest.VENUE_STATS_DIR))
+
+    batch = _intruder_batch(spark)  # venue-1 walk inside venue 0's extent
+    inc_results = pipeline.run_incremental(spark, batch, out, PARAMS)
+    full_results = pipeline.run(spark, pages.unionByName(batch),
+                                str(tmp_path / "r4full"), PARAMS)
+    for name, keys in [("segments", ["seg_id"]),
+                       ("eps_pairs", ["a_seg", "b_seg"]),
+                       ("assignments", ["seg_id"])]:
+        got = _read_sorted(spark, inc_results[name][0], keys)
+        want = _read_sorted(spark, full_results[name][0], keys)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+    # the commit upgraded the base to the side-table format
+    m2 = manifest.read_manifest(seg_dir)
+    assert m2["stats"]["venue_stats"] == manifest.VENUE_STATS_DIR
+    assert manifest.read_venue_stats(spark, seg_dir) is not None

@@ -460,3 +460,11 @@ def test_numpy_decoder_real_formats_end_to_end(spark):
         multimodal.decode_wav(bytes(bad))
     with pytest.raises(NotImplementedError):
         multimodal.numpy_decoder(b"x", "video")
+
+
+def test_decode_wav_rejects_truncated_data_chunk():
+    """review r5: a data chunk whose declared size overruns the payload is
+    a cut-off transfer — must raise, never return partial samples."""
+    full = _wav_bytes([1, 2, 3, 4, 5, 6, 7, 8])
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        multimodal.decode_wav(full[:-6])  # cut mid-data
