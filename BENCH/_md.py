@@ -61,7 +61,11 @@ def _fenced_flags(lines: list[str],
                 opener_idx = i
                 flags[i] = True
                 continue
-            if fence[0] == ch and n >= fence[1]:
+            # a CLOSER must be bare (CommonMark: no info string after the
+            # marker — review r5 wave 2: accepting a quoted ```python
+            # line as a closer would unfence the rest of the block)
+            if (fence[0] == ch and n >= fence[1]
+                    and not s.lstrip(ch).strip()):
                 fence = None
                 flags[i] = True
                 continue

@@ -167,13 +167,27 @@ def read_manifest(path: str) -> dict:
         return json.load(f)
 
 
-def write_venue_stats(stats_df: DataFrame, stage_path: str) -> None:
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) resolved for any scheme (file://, hdfs://,
+    s3a://) — the ONE copy of the jvm resolution idiom (read_venue_stats
+    and pipeline._delete_dir both delegate here; review r5 wave 2
+    flagged the hand-kept copies)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def write_venue_stats(stats_df: DataFrame, stage_path: str) -> DataFrame:
     """Overwrite the stage's per-venue stats side table
     (venue, x0, x1, y0, y1, max_len). localCheckpoint first: an
     incremental merge READS the old side table it is about to overwrite
     (self-overwrite would truncate the input mid-scan). Rows are
     range-partitioned + sorted by x0 so the halo closure's frontier
-    queries get row-group min/max pruning on the x axis at corpus scale."""
+    queries get row-group min/max pruning on the x axis at corpus scale.
+    Returns the CHECKPOINTED stats DataFrame so callers can aggregate
+    their manifest summary from it directly instead of re-reading the
+    parquet just written (review r5 wave 2: a wasted read+job per
+    commit, recurring on the incremental path)."""
     stats_df = stats_df.localCheckpoint(eager=True)
     spark = stats_df.sparkSession
     n = max(1, min(stats_df.count() // 65_536,
@@ -181,6 +195,7 @@ def write_venue_stats(stats_df: DataFrame, stage_path: str) -> None:
     (stats_df.repartitionByRange(n, "x0").sortWithinPartitions("x0")
      .write.mode("overwrite")
      .parquet(os.path.join(stage_path, VENUE_STATS_DIR)))
+    return stats_df
 
 
 def read_venue_stats(spark: SparkSession, stage_path: str) -> DataFrame | None:
@@ -190,9 +205,7 @@ def read_venue_stats(spark: SparkSession, stage_path: str) -> DataFrame | None:
     sp = os.path.join(stage_path, VENUE_STATS_DIR)
     # scheme-aware existence probe (os.path.exists is wrong for hdfs://
     # or s3a:// stage roots, which the incremental path supports)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(sp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = hadoop_fs(spark, sp)
     if not fs.exists(hpath):
         return None
     return spark.read.parquet(sp)

@@ -78,8 +78,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     height = abs(height)
     stride = (width * 3 + 3) & ~3
     need = off + stride * height
-    if width <= 0 or len(payload) < need:
-        raise ValueError("truncated BMP payload")
+    # review r5 wave 2: a pixel offset inside the 54-byte header would
+    # silently decode header bytes as pixels; zero height would emit an
+    # empty sample array whose .min() fails downstream with an opaque
+    # numpy error instead of this decoder's loud contract
+    if width <= 0 or height == 0 or off < 54 or len(payload) < need:
+        raise ValueError("malformed BMP payload (bad offset/dimensions "
+                         "or truncated pixel data)")
     rows = (np.frombuffer(payload, dtype=np.uint8, count=stride * height,
                           offset=off)
             .reshape(height, stride)[:, :width * 3]
@@ -122,8 +127,14 @@ def decode_wav(payload: bytes) -> np.ndarray:
                          f"bits={bits}); only PCM 8/16-bit is decoded "
                          f"natively")
     if bits == 16:
-        return np.frombuffer(data[:len(data) & ~1],
-                             dtype="<i2").astype(np.float64)
+        if len(data) % 2:
+            # review r5 wave 2: an odd-length 16-bit data chunk is the
+            # same corrupt-container class as an overrunning one —
+            # silently dropping the trailing byte would contradict the
+            # truncation guard above
+            raise ValueError("malformed WAV: odd data-chunk length for "
+                             "16-bit PCM")
+        return np.frombuffer(data, dtype="<i2").astype(np.float64)
     return np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
 
 

@@ -110,8 +110,7 @@ def _segments_stats_fn(params: IMCParams):
     joins.HOT_CELLS_CAP, results-invariant by the salted≡unsalted
     guarantee)."""
     def fn(written: DataFrame, path: str) -> dict:
-        manifest.write_venue_stats(_venue_stats_agg(written), path)
-        sdf = manifest.read_venue_stats(written.sparkSession, path)
+        sdf = manifest.write_venue_stats(_venue_stats_agg(written), path)
         return _stats_summary(sdf) | {
             "hot_cells": joins.hot_cell_keys(written, params)}
     return fn
@@ -236,7 +235,7 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
     unaffected old rows with recomputed affected-venue rows. Cross-venue
     geometry is handled EXACTLY (r4): the affected set expands to its
     halo closure over the venue-adjacency graph (manifest extents within
-    gap_bound — see _venue_halo_closure), so ε-pairs and components
+    gap_bound — see _venue_halo_closure_lazy), so ε-pairs and components
     provably cannot cross the recompute boundary even when a delta lands
     inside another venue's extent. Cluster ids are globally dense-ranked
     by component-min seg_id, so the merged table is re-ranked (one row
@@ -462,8 +461,7 @@ def run_incremental(spark: SparkSession, new_pages: DataFrame, out_dir: str,
         merged = (old_sdf.join(F.broadcast(aff_df), "venue", "left_anti")
                   .unionByName(new_stats_df)
                   if old_sdf is not None else _venue_stats_agg(written))
-        manifest.write_venue_stats(merged, path)
-        out = _stats_summary(manifest.read_venue_stats(spark, path))
+        out = _stats_summary(manifest.write_venue_stats(merged, path))
         if "hot_cells" in old_seg_stats:
             out["hot_cells"] = old_seg_stats["hot_cells"]
         return out
@@ -662,9 +660,7 @@ def _delete_dir(spark: SparkSession, path_str: str) -> None:
     """Recursive delete through the Hadoop FileSystem API — path-scheme
     aware (file://, hdfs://, s3a:// all resolve to their FileSystem), so
     incremental partition drops work on non-local stage roots too."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = manifest.hadoop_fs(spark, path_str)
     if fs.exists(hpath):
         fs.delete(hpath, True)
 

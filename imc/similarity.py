@@ -232,9 +232,12 @@ IVF_MANIFEST = "_ivf_index.json"
 
 def _ivf_fingerprint(embeddings: DataFrame, n_lists: int, iters: int,
                      sample_n: int) -> str | None:
-    """Content identity of a trained IVF index: input file listing +
-    sizes + mtimes + training params (the same resume rule the stage
-    manifests use). None — no stable identity ⟹ retrain per call — for
+    """Content identity of a trained IVF index: canonicalized logical
+    plan + input file listing + sizes + mtimes + training params (the
+    same resume rule pipeline._input_fingerprint uses — the plan hash
+    matters here too, review r5 wave 2: without it a FILTERED view over
+    the same parquet files would reuse centroids trained on the full
+    table). None — no stable identity ⟹ retrain per call — for
     in-memory inputs AND for any file os.stat can't reach (review r5:
     hashing bare names for remote hdfs://s3a:// paths would serve a
     STALE index after an in-place rewrite under the same object names;
@@ -245,6 +248,9 @@ def _ivf_fingerprint(embeddings: DataFrame, n_lists: int, iters: int,
     if not files:
         return None
     h = hashlib.sha256(f"ivf|{n_lists}|{iters}|{sample_n}".encode())
+    plan = (embeddings._jdf.queryExecution().logical()
+            .canonicalized().toString())
+    h.update(f"plan|{plan}".encode())
     for f in files:
         local = f[7:] if f.startswith("file://") else (
             f[5:] if f.startswith("file:") else f)

@@ -205,3 +205,35 @@ def test_ivf_index_persists_and_reloads_without_retraining(spark, tmp_path):
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_ivf_index_filtered_view_retrains(spark, tmp_path):
+    """review r5 wave 2: a FILTERED view over the same parquet files is a
+    different logical table — the fingerprint includes the canonicalized
+    plan, so the persisted full-table index must NOT be reused."""
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(64, dtype=np.int64),
+        "embedding": [rng.normal(size=8).tolist() for _ in range(64)],
+        "label": ["x"] * 64})
+    src = str(tmp_path / "emb2.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    emb = spark.read.parquet(src)
+    idx_dir = str(tmp_path / "idx2")
+    full = similarity.ivf_index(emb, idx_dir, n_lists=4, iters=2)
+
+    calls = {"n": 0}
+    orig = similarity.train_ivf_centroids
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    similarity.train_ivf_centroids = spy
+    try:
+        sub = similarity.ivf_index(emb.filter("vec_id < 8"), idx_dir,
+                                   n_lists=4, iters=2)
+    finally:
+        similarity.train_ivf_centroids = orig
+    assert calls["n"] == 1          # retrained, not served stale
+    assert sub != full

@@ -83,3 +83,15 @@ def test_replace_section_mixed_fence_markers(tmp_path):
     text = open(p).read()
     assert "quoted" in text and "a2" in text and "~~~ not a closer" in text
     assert "new" in text and "real" not in text
+
+
+def test_fence_closer_must_be_bare(tmp_path):
+    """review r5 wave 2 (CommonMark): a quoted ```python inside a fenced
+    block is NOT a closer — the quoted heading after it stays fenced."""
+    p = str(tmp_path / "b.md")
+    _write(p, "## Alpha\n```\n```python\n## Beta\nquoted\n```\na2\n\n"
+              "## Beta\nreal\n")
+    replace_section("## Beta", ["## Beta", "new"], path=p)
+    text = open(p).read()
+    assert "quoted" in text and "a2" in text
+    assert "new" in text and "real" not in text

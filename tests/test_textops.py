@@ -468,3 +468,29 @@ def test_decode_wav_rejects_truncated_data_chunk():
     full = _wav_bytes([1, 2, 3, 4, 5, 6, 7, 8])
     with pytest.raises(ValueError, match="truncated WAV chunk"):
         multimodal.decode_wav(full[:-6])  # cut mid-data
+
+
+def test_decoders_reject_wave2_malformed_containers():
+    """review r5 wave 2: odd-length 16-bit WAV data, a BMP pixel offset
+    inside the header, and a zero-height BMP are all loud errors — never
+    silently-partial or empty sample arrays."""
+    odd = bytearray(_wav_bytes([1, 2, 3]))
+    # shrink the data chunk declaration and payload by one byte (odd)
+    assert odd[-8:-6] == (6).to_bytes(2, "little") or True
+    # rebuild precisely: declare 5 bytes of data
+    data_sz_at = len(odd) - 6 - 4
+    odd[data_sz_at:data_sz_at + 4] = (5).to_bytes(4, "little")
+    riff = bytearray(odd[:-1])
+    riff[4:8] = (len(riff) - 8).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="odd data-chunk"):
+        multimodal.decode_wav(bytes(riff))
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    bad_off = bytearray(_bmp_bytes(rgb))
+    bad_off[10:14] = (0).to_bytes(4, "little")  # offset inside header
+    with pytest.raises(ValueError, match="malformed BMP"):
+        multimodal.decode_bmp(bytes(bad_off))
+    bad_h = bytearray(_bmp_bytes(rgb))
+    bad_h[22:26] = (0).to_bytes(4, "little", signed=False)  # height 0
+    with pytest.raises(ValueError, match="malformed BMP"):
+        multimodal.decode_bmp(bytes(bad_h))
