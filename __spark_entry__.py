@@ -293,6 +293,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus composition ROLLUP — the SURVEY §2.5 cube/rollup row
         return textops.corpus_stats(_tbl(spark, sf_dir, "documents"))
 
+    def text_decontaminate(spark, sf_dir):
+        # benchmark decontamination (r5): every 37th doc stands in for
+        # the eval set; the rest of the corpus is screened against its
+        # word-3-gram shingle hashes (broadcast semi-join, never
+        # corpus×benchmark)
+        docs = _tbl(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 37 == 0)
+        return textops.decontaminate(docs.filter(F.col("doc_id") % 37 != 0),
+                                     bench)
+
+    def text_pack(spark, sf_dir):
+        # concat-then-chunk sequence packing (r5): deterministic stream
+        # offsets + chunk ranges via a two-level distributed prefix sum
+        return textops.pack_sequences(_tbl(spark, sf_dir, "documents"),
+                                      2048)
+
     def dedup_embcos_clusters(spark, sf_dir):
         # vector twin of dedup_clusters (same τ/bits as embcos pairs)
         return similarity.embedding_dup_clusters(
@@ -358,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              dedup_clusters=dedup_clusters, text_split=text_split,
              text_source_quota=text_source_quota,
              text_corpus_stats=text_corpus_stats,
+             text_decontaminate=text_decontaminate, text_pack=text_pack,
              dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
@@ -1482,6 +1499,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents)
             SELECT doc_id, source, rn::BIGINT AS rn FROM r WHERE rn <= 20
+        """,
+        "text_decontaminate": f"""
+            WITH bench AS (SELECT * FROM documents WHERE doc_id % 37 = 0),
+            corpus AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+            bh AS (SELECT DISTINCT md5(s) AS h FROM (
+                     SELECT unnest({_SHINGLES}) AS s FROM bench)),
+            ds AS (SELECT doc_id, md5(s) AS h FROM (
+                     SELECT doc_id, unnest({_SHINGLES}) AS s FROM corpus)),
+            hits AS (SELECT doc_id, count(*) AS n FROM ds
+                     WHERE h IN (SELECT h FROM bh) GROUP BY doc_id)
+            SELECT c.doc_id, coalesce(n, 0)::BIGINT AS n_hits,
+                   coalesce(n, 0) >= 1 AS contaminated
+            FROM corpus c LEFT JOIN hits USING (doc_id)
+        """,
+        "text_pack": r"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(text, '\S+'))::BIGINT
+                                AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                           AS start_offset
+                  FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 2048)::BIGINT AS first_chunk,
+                   greatest(start_offset // 2048,
+                            (start_offset + n_tokens - 1) // 2048)::BIGINT
+                     AS last_chunk
+            FROM c
         """,
         "text_tokens": r"""
             SELECT doc_id,

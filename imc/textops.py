@@ -418,6 +418,86 @@ def source_quota(documents: DataFrame, cap: int = 20,
             .filter(F.col("rn") <= cap))
 
 
+def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                  min_hits: int = 1) -> DataFrame:
+    """(doc_id, n_hits, contaminated) — benchmark DECONTAMINATION, the
+    train/eval-overlap check every LLM corpus build runs before training:
+    a document sharing ≥ min_hits distinct word-3-gram shingles with any
+    benchmark text is flagged (the n-gram-collision method used for
+    eval-set scrubbing; production runs use longer n-grams — the shingle
+    width lives in ONE place, _shingles, shared with minhash/Jaccard).
+
+    benchmark: DataFrame with a `text` column (the eval set). Scale
+    shape: the benchmark's distinct shingle-hash set is SMALL (eval sets
+    are thousands of docs) and broadcast; the corpus side explodes its
+    shingles map-side and semi-joins — one broadcast join plus one
+    per-doc count shuffle, never corpus×benchmark. Every input document
+    gets a row (n_hits = 0 when clean)."""
+    bench_hashes = (benchmark
+                    .select(F.explode(_shingles(F.col("text"))).alias("sh"))
+                    .select(F.md5(F.encode(F.col("sh"), "UTF-8")).alias("h"))
+                    .distinct())
+    doc_sh = (documents
+              .select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+              .select("doc_id",
+                      F.md5(F.encode(F.col("sh"), "UTF-8")).alias("h")))
+    hits = (doc_sh.join(F.broadcast(bench_hashes), "h", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (documents.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    .cast("long").alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") >= min_hits))
+
+
+# pack_sequences' two-level prefix sum groups this many consecutive
+# doc_ids per block: the per-doc cumulative sum is a window WITHIN block
+# (distributed); only the one-row-per-block offsets pass through a
+# single task — the rank_components pattern applied to running sums
+PACK_BLOCK = 1 << 20
+
+
+def pack_sequences(documents: DataFrame, ctx_len: int = 2048) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, first_chunk, last_chunk) —
+    concat-then-chunk SEQUENCE PACKING, the standard pretraining layout:
+    documents are concatenated in ascending doc_id order into one token
+    stream and cut into fixed ctx_len chunks; each doc reports its
+    stream offset and the chunk range it lands in (a doc may span
+    chunks). Deterministic — the packing is a pure function of
+    (doc_id order, token counts), so a rebuild bins identically.
+
+    The global exclusive prefix sum is TWO-LEVEL (no single-partition
+    window over the corpus): doc_id div PACK_BLOCK groups consecutive
+    ids into blocks — cumsum within block is a distributed window keyed
+    by block; block totals (one row per block) get a running-sum offset
+    in one tiny task; doc offset = block offset + within-block cumsum.
+    Token definition shared with token_counts (_tokens_expr)."""
+    blk = F.expr(f"doc_id div {PACK_BLOCK}")
+    docs = documents.select("doc_id",
+                            _tokens_expr().cast("long").alias("n_tokens"),
+                            blk.alias("_blk"))
+    w_in = (Window.partitionBy("_blk").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    docs = docs.withColumn("_local",
+                           F.coalesce(F.sum("n_tokens").over(w_in),
+                                      F.lit(0)))
+    w_blk = (Window.orderBy("_blk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (docs.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
+            .withColumn("_off", F.coalesce(F.sum("_tot").over(w_blk),
+                                           F.lit(0))))
+    start = F.col("_off") + F.col("_local")
+    first = F.floor(start / ctx_len)
+    last = F.greatest(
+        first, F.floor((start + F.col("n_tokens") - 1) / ctx_len))
+    return (docs.join(F.broadcast(offs.select("_blk", "_off")), "_blk")
+            .select("doc_id", "n_tokens",
+                    start.cast("long").alias("start_offset"),
+                    first.cast("long").alias("first_chunk"),
+                    last.cast("long").alias("last_chunk")))
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """(lang, source, n_docs, n_tokens) — corpus composition ROLLUP:
     per (lang, source), per lang, and the grand total in ONE pass

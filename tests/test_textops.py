@@ -494,3 +494,52 @@ def test_decoders_reject_wave2_malformed_containers():
     bad_h[22:26] = (0).to_bytes(4, "little", signed=False)  # height 0
     with pytest.raises(ValueError, match="malformed BMP"):
         multimodal.decode_bmp(bytes(bad_h))
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Benchmark decontamination: a doc copying an eval-set phrase is
+    flagged; clean docs and sub-shingle docs report zero hits."""
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9000],
+        "text": ["the capital of france is paris and it is large"],
+        "lang": "en", "source": "eval", "n_chars": 0}))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["students wrote that the capital of france is paris today",
+                 "completely unrelated text about gardening and tomatoes here",
+                 "two words"],
+        "lang": "en", "source": "web", "n_chars": 0}))
+    out = (textops.decontaminate(docs, bench).toPandas()
+           .set_index("doc_id"))
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] >= 3
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_hits"] == 0
+    assert out.loc[3, "n_hits"] == 0  # < 3 words → no shingles at all
+    assert len(out) == 3              # every input doc gets a row
+
+
+def test_pack_sequences_hand_computed_and_distributed_window(spark):
+    """Concat-then-chunk packing: hand-computed offsets/chunks, a doc
+    spanning a chunk boundary, a zero-token doc, and block boundaries
+    exercised (ids straddle PACK_BLOCK). Plan gate: the per-doc prefix
+    sum partitions by block — no global window over the doc table."""
+    B = textops.PACK_BLOCK
+    rows = [(0, "a " * 5), (1, ""), (2, "b " * 4),   # 5, 0, 4 tokens
+            (B + 1, "c " * 3), (2 * B + 7, "d " * 6)]
+    docs = spark.createDataFrame(
+        pd.DataFrame([(i, t.strip(), "en", "s", 0) for i, t in rows],
+                     columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    out = textops.pack_sequences(docs, ctx_len=4)
+    got = out.toPandas().set_index("doc_id").sort_index()
+    # stream: doc0 tokens [0,5) → chunks 0-1; doc1 [5,5) zero → chunk 1;
+    # doc2 [5,9) → chunks 1-2; doc(B+1) [9,12) → chunk 2;
+    # doc(2B+7) [12,18) → chunks 3-4
+    assert got["start_offset"].tolist() == [0, 5, 5, 9, 12]
+    assert got["first_chunk"].tolist() == [0, 1, 1, 2, 3]
+    assert got["last_chunk"].tolist() == [1, 1, 2, 2, 4]
+
+    import re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    doc_windows = [s for s in
+                   re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+                   if "doc_id" in s]
+    assert doc_windows and all("_blk" in s for s in doc_windows), doc_windows
