@@ -309,6 +309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textops.pack_sequences(_tbl(spark, sf_dir, "documents"),
                                       2048)
 
+    def text_pii(spark, sf_dir):
+        # PII redaction (r5): counts + redacted-text fingerprint; the
+        # oracle reproduces the byte-identical clean_sha
+        return textops.pii_scrub(_tbl(spark, sf_dir, "documents"))
+
     def dedup_embcos_clusters(spark, sf_dir):
         # vector twin of dedup_clusters (same τ/bits as embcos pairs)
         return similarity.embedding_dup_clusters(
@@ -375,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_source_quota=text_source_quota,
              text_corpus_stats=text_corpus_stats,
              text_decontaminate=text_decontaminate, text_pack=text_pack,
+             text_pii=text_pii,
              dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
@@ -1512,6 +1518,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, coalesce(n, 0)::BIGINT AS n_hits,
                    coalesce(n, 0) >= 1 AS contaminated
             FROM corpus c LEFT JOIN hits USING (doc_id)
+        """,
+        "text_pii": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '{textops.PII_EMAIL}'))::BIGINT AS n_emails,
+                     regexp_replace(text, '{textops.PII_EMAIL}',
+                                    '<EMAIL>', 'g') AS ne
+              FROM documents)
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(ne,
+                       '{textops.PII_PHONE}'))::BIGINT AS n_phones,
+                   md5(regexp_replace(ne, '{textops.PII_PHONE}',
+                                      '<PHONE>', 'g')) AS clean_sha
+            FROM s
         """,
         "text_pack": r"""
             WITH t AS (SELECT doc_id,

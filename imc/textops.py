@@ -498,6 +498,33 @@ def pack_sequences(documents: DataFrame, ctx_len: int = 2048) -> DataFrame:
                     last.cast("long").alias("last_chunk")))
 
 
+# PII patterns pinned to the RE2 ∩ Java-regex common dialect so the
+# Spark expression and the DuckDB oracle compile the same automaton:
+# character classes, \d, \b, bounded repetition only — no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_sha) — PII redaction, the
+    compliance pass of corpus assembly: emails then phone numbers are
+    replaced with typed placeholders (<EMAIL>, <PHONE> — replacement
+    ORDER pinned: emails first, so a phone-looking substring inside an
+    address is counted once as email). clean_sha fingerprints the
+    redacted text so a re-run (or the oracle) proves byte-identical
+    output without shipping the text. Pure codegen — regexp_replace /
+    regexp_extract_all, one map-side pass, no shuffle."""
+    emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+    no_email = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE), 0))
+    clean = F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_sha"))
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """(lang, source, n_docs, n_tokens) — corpus composition ROLLUP:
     per (lang, source), per lang, and the grand total in ONE pass

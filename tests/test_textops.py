@@ -543,3 +543,27 @@ def test_pack_sequences_hand_computed_and_distributed_window(spark):
                    re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
                    if "doc_id" in s]
     assert doc_windows and all("_blk" in s for s in doc_windows), doc_windows
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    """PII redaction: planted emails/phones are counted and replaced
+    (emails first — pinned order); clean text hashes match a hand redaction."""
+    import hashlib
+    texts = [
+        "contact alice@example.com or bob.smith+x@sub.domain.org today",
+        "call 555-123-4567 or 555.987.6543 now",
+        "mixed: c@d.io and 111-222-3333",
+        "no pii here at all",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    out = textops.pii_scrub(docs).toPandas().set_index("doc_id")
+    assert out["n_emails"].tolist() == [2, 0, 1, 0]
+    assert out["n_phones"].tolist() == [0, 2, 1, 0]
+    import re
+    for i, t in enumerate(texts):
+        clean = re.sub(textops.PII_PHONE, "<PHONE>",
+                       re.sub(textops.PII_EMAIL, "<EMAIL>", t))
+        assert out.loc[i, "clean_sha"] == hashlib.md5(
+            clean.encode()).hexdigest(), (i, clean)
