@@ -433,9 +433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        & (F.col("l_shipdate") > F.lit("1995-03-15")))
                .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
                .agg(rev.alias("revenue")))
+        # distributed top-k: orderBy().limit(k) compiles to
+        # TakeOrderedAndProject (per-partition partial top-10 + driver
+        # merge — no global sort shuffle, no full-table single-partition
+        # window); the rank window then runs over just the 10 survivors
+        top = agg.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
         w = Window.orderBy(F.desc("revenue"), "o_orderkey")
-        return (agg.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= 10)
+        return (top.withColumn("rk", F.row_number().over(w))
                 .select("o_orderkey",
                         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                         "o_orderpriority", "revenue", F.col("rk").cast("long").alias("rk")))
