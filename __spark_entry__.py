@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle reproduces the byte-identical clean_sha
         return textops.pii_scrub(_tbl(spark, sf_dir, "documents"))
 
+    def text_repetition(spark, sf_dir):
+        # Gopher-style repetition quality rules (r5)
+        return textops.repetition_scores(_tbl(spark, sf_dir, "documents"))
+
     def dedup_embcos_clusters(spark, sf_dir):
         # vector twin of dedup_clusters (same τ/bits as embcos pairs)
         return similarity.embedding_dup_clusters(
@@ -380,7 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_source_quota=text_source_quota,
              text_corpus_stats=text_corpus_stats,
              text_decontaminate=text_decontaminate, text_pack=text_pack,
-             text_pii=text_pii,
+             text_pii=text_pii, text_repetition=text_repetition,
              dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
@@ -1537,6 +1541,38 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(ne, '{textops.PII_PHONE}',
                                       '<PHONE>', 'g')) AS clean_sha
             FROM s
+        """,
+        "text_repetition": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> length(trim(x)) > 0) AS lines
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(lines)::BIGINT AS n_lines,
+                     CASE WHEN len(lines) > 0
+                          THEN round(1.0 - len(list_distinct(lines))::DOUBLE
+                                           / len(lines)::DOUBLE, 6)
+                          ELSE 0.0 END AS dup_line_frac
+              FROM l),
+            w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS words
+              FROM documents),
+            i AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(1, len(words) - 1)) AS i
+              FROM w WHERE len(words) >= 2),
+            g AS (
+              SELECT doc_id, words[i] || ' ' || words[i + 1] AS g FROM i),
+            top AS (
+              SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+                SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+              GROUP BY doc_id)
+            SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+                   coalesce(round(mx::DOUBLE / tot::DOUBLE, 6), 0.0)
+                     AS top_bigram_frac
+            FROM base b LEFT JOIN top USING (doc_id)
         """,
         "text_pack": r"""
             WITH t AS (SELECT doc_id,

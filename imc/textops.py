@@ -498,6 +498,47 @@ def pack_sequences(documents: DataFrame, ctx_len: int = 2048) -> DataFrame:
                     last.cast("long").alias("last_chunk")))
 
 
+def _bigrams(col):
+    """Word-2-gram list WITH duplicates (frequency analysis needs
+    multiplicity — unlike _shingles' distinct set for Jaccard)."""
+    words = _words(col)
+    n = F.size(words)
+    idx = (F.when(n >= 2, F.sequence(F.lit(1), n - F.lit(1)))
+           .otherwise(F.array().cast("array<int>")))
+    return F.transform(idx,
+                       lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(2))))
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, top_bigram_frac) — repetition
+    quality rules (the Gopher-style filters a corpus build applies before
+    training): fraction of non-empty lines that are duplicates, and the
+    share of the document's word-2-grams taken by its single most
+    frequent 2-gram (boilerplate and degenerate repetition both spike
+    it). Line stats are pure codegen (array ops, no shuffle); the bigram
+    mode is one explode + two hash aggregations keyed by doc — partial
+    aggregation applies, no skew surface beyond document length."""
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    dup_frac = (F.when(n_lines > 0,
+                       F.round(F.lit(1.0)
+                               - F.size(F.array_distinct(lines))
+                               / n_lines.cast("double"), 6))
+                .otherwise(F.lit(0.0)))
+    base = documents.select("doc_id", n_lines.cast("long").alias("n_lines"),
+                            dup_frac.alias("dup_line_frac"))
+    bg = documents.select("doc_id",
+                          F.explode(_bigrams(F.col("text"))).alias("g"))
+    top = (bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+           .groupBy("doc_id").agg(F.max("c").alias("_mx"),
+                                  F.sum("c").alias("_tot")))
+    frac = F.round(F.col("_mx") / F.col("_tot").cast("double"), 6)
+    return (base.join(top, "doc_id", "left")
+            .select("doc_id", "n_lines", "dup_line_frac",
+                    F.coalesce(frac, F.lit(0.0)).alias("top_bigram_frac")))
+
+
 # PII patterns pinned to the RE2 ∩ Java-regex common dialect so the
 # Spark expression and the DuckDB oracle compile the same automaton:
 # character classes, \d, \b, bounded repetition only — no lookaround.

@@ -567,3 +567,36 @@ def test_pii_scrub_counts_and_redacts(spark):
                        re.sub(textops.PII_EMAIL, "<EMAIL>", t))
         assert out.loc[i, "clean_sha"] == hashlib.md5(
             clean.encode()).hexdigest(), (i, clean)
+
+
+def test_repetition_scores_hand_computed(spark):
+    """Gopher-style repetition rules on hand-computable docs: duplicate
+    non-empty lines, a dominant bigram, a one-word doc (no bigrams) and
+    an all-blank doc (zero lines). Fractions are round(·, 6) like the op."""
+    texts = [
+        "spam spam\nspam spam\n\n  \nunique line",   # 3 non-empty, 2 distinct
+        "a b c d",                                   # bigrams: ab bc cd (all 1)
+        "go go go go go",                            # "go go" ×4 of 4 bigrams
+        "word",                                      # 1 token → no bigrams
+        "\n  \n\t\n",                # tab survives trim (spaces only) → 1 line
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    out = textops.repetition_scores(docs).toPandas().set_index("doc_id")
+    assert out["n_lines"].tolist() == [3, 1, 1, 1, 1]
+    assert out["dup_line_frac"].tolist() == [
+        round(1 - 2 / 3, 6), 0.0, 0.0, 0.0, 0.0]
+    # doc0 bigrams: "spam spam"×2, "spam unique"? no — per-doc bigrams span
+    # newlines after whitespace-split: spam spam | spam spam | spam unique |
+    # unique line → top "spam spam" 2/4... recompute precisely below.
+    import collections
+    import re as _re
+    for i, t in enumerate(texts):
+        # engine semantics: trim strips spaces only; regex split keeps
+        # leading/trailing empty fields (Spark and DuckDB both do)
+        words = _re.split(r"\s+", t.lower().strip(" "))
+        bgs = [" ".join(words[j:j + 2]) for j in range(len(words) - 1)]
+        want = (round(max(collections.Counter(bgs).values()) / len(bgs), 6)
+                if bgs else 0.0)
+        assert out.loc[i, "top_bigram_frac"] == pytest.approx(want, abs=1e-9), i
