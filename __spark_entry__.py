@@ -318,6 +318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style repetition quality rules (r5)
         return textops.repetition_scores(_tbl(spark, sf_dir, "documents"))
 
+    def text_boilerplate(spark, sf_dir):
+        # C4/RefinedWeb-style cross-document boilerplate line removal (r5)
+        return textops.boilerplate_scrub(_tbl(spark, sf_dir, "documents"))
+
     def dedup_embcos_clusters(spark, sf_dir):
         # vector twin of dedup_clusters (same τ/bits as embcos pairs)
         return similarity.embedding_dup_clusters(
@@ -385,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_corpus_stats=text_corpus_stats,
              text_decontaminate=text_decontaminate, text_pack=text_pack,
              text_pii=text_pii, text_repetition=text_repetition,
+             text_boilerplate=text_boilerplate,
              dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
@@ -1573,6 +1578,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(mx::DOUBLE / tot::DOUBLE, 6), 0.0)
                      AS top_bigram_frac
             FROM base b LEFT JOIN top USING (doc_id)
+        """,
+        "text_boilerplate": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ls))) AS pos,
+                     unnest(ls) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM documents)),
+            b AS (
+              SELECT md5(line) AS k FROM l
+              WHERE length(trim(line)) > 0
+              GROUP BY md5(line)
+              HAVING count(DISTINCT doc_id) >= 2),
+            m AS (
+              SELECT doc_id, pos, line,
+                     md5(line) IN (SELECT k FROM b) AS boiler
+              FROM l)
+            SELECT doc_id, count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT
+                     AS n_removed,
+                   md5(coalesce(
+                       string_agg(CASE WHEN NOT boiler THEN line END,
+                                  chr(10) ORDER BY pos), ''))
+                     AS clean_sha
+            FROM m GROUP BY doc_id
         """,
         "text_pack": r"""
             WITH t AS (SELECT doc_id,

@@ -539,6 +539,49 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
                     F.coalesce(frac, F.lit(0.0)).alias("top_bigram_frac")))
 
 
+def boilerplate_scrub(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_sha) — corpus-level boilerplate
+    line removal (the C4/RefinedWeb cleanup pass): a non-blank line whose
+    exact text appears in >= min_docs DISTINCT documents is boilerplate
+    (nav bars, footers, cookie banners) and is dropped from every
+    document; blank lines and unique lines survive. clean_sha fingerprints
+    the order-preserving reconstruction so downstream exact-dedup keys
+    stay stable.
+
+    Scale shape: posexplode -> md5 line key -> countDistinct(doc_id)
+    (Spark expands it to two hash aggs with partial combine) -> one
+    equi-join back on the 16-byte key -> per-doc array_sort-on-position
+    rebuild. No broadcast of the boilerplate set (it grows with the
+    corpus) and no skew surface beyond document length; a hot line
+    ("Privacy Policy" x 10^9 docs) is ONE group in the count agg, not a
+    join fan-out, because the join carries only the per-line verdict."""
+    lines = (documents
+             .select("doc_id", F.posexplode(F.split(F.col("text"), "\n"))
+                     .alias("pos", "line")))
+    key = F.md5(F.encode(F.col("line"), "UTF-8"))
+    boiler = (lines
+              .where(F.length(F.trim(F.col("line"))) > 0)
+              .groupBy(key.alias("k"))
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .where(F.col("nd") >= min_docs)
+              .select("k"))
+    marked = (lines
+              .join(boiler.withColumn("_boiler", F.lit(True)),
+                    key == F.col("k"), "left")
+              .select("doc_id", "pos", "line",
+                      F.coalesce(F.col("_boiler"), F.lit(False))
+                      .alias("_boiler")))
+    kept = F.array_sort(F.collect_list(
+        F.when(~F.col("_boiler"), F.struct("pos", "line"))))
+    return (marked
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum(F.col("_boiler").cast("long")).alias("n_removed"),
+                 F.md5(F.encode(
+                     F.array_join(F.transform(kept, lambda s: s["line"]),
+                                  "\n"), "UTF-8")).alias("clean_sha")))
+
+
 # PII patterns pinned to the RE2 ∩ Java-regex common dialect so the
 # Spark expression and the DuckDB oracle compile the same automaton:
 # character classes, \d, \b, bounded repetition only — no lookaround.

