@@ -322,6 +322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4/RefinedWeb-style cross-document boilerplate line removal (r5)
         return textops.boilerplate_scrub(_tbl(spark, sf_dir, "documents"))
 
+    def text_mix(spark, sf_dir):
+        # token-budget corpus mixing, uniform weights over sources (r5)
+        return textops.corpus_mix(_tbl(spark, sf_dir, "documents"),
+                                  budget_tokens=10_000)
+
     def dedup_embcos_clusters(spark, sf_dir):
         # vector twin of dedup_clusters (same τ/bits as embcos pairs)
         return similarity.embedding_dup_clusters(
@@ -389,7 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_corpus_stats=text_corpus_stats,
              text_decontaminate=text_decontaminate, text_pack=text_pack,
              text_pii=text_pii, text_repetition=text_repetition,
-             text_boilerplate=text_boilerplate,
+             text_boilerplate=text_boilerplate, text_mix=text_mix,
              dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
@@ -1603,6 +1608,25 @@ def oracle_sql() -> dict[str, str]:
                                   chr(10) ORDER BY pos), ''))
                      AS clean_sha
             FROM m GROUP BY doc_id
+        """,
+        "text_mix": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT
+                       AS n_tokens,
+                     md5(doc_id::VARCHAR) AS h
+              FROM documents),
+            ns AS (SELECT count(DISTINCT source) AS n FROM t),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)::BIGINT AS cum_before
+              FROM t)
+            SELECT doc_id, source, n_tokens, cum_before,
+                   cum_before < 10000.0 / (SELECT n FROM ns) AS selected
+            FROM c
         """,
         "text_pack": r"""
             WITH t AS (SELECT doc_id,

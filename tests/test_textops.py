@@ -628,3 +628,42 @@ def test_boilerplate_scrub_removes_cross_doc_lines(spark):
     for i, want in enumerate(cleaned):
         assert out.loc[i, "clean_sha"] == hashlib.md5(
             want.encode()).hexdigest(), (i, want)
+
+
+def test_corpus_mix_weighted_hand_computed_and_sharded_window(spark):
+    """Weighted mixing on a hand-computable fixture: selection follows the
+    md5(doc_id) priority order per source, the budget-crossing doc is
+    included (pinned greedy-include), a zero-weight source selects
+    nothing. Plan gate: the per-doc prefix-sum window partitions by
+    (source, _blk) — no whole-source window (mega-source straggler)."""
+    import hashlib
+    rows = [(i, "tok " * 10, "a") for i in range(6)]          # 10 tokens each
+    rows += [(10 + i, "tok " * 4, "b") for i in range(3)]     # 4 tokens each
+    rows += [(20, "tok " * 99, "zero")]
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, t.strip(), "en", s, 0) for i, t, s in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    out = (textops.corpus_mix(docs, budget_tokens=100,
+                              weights={"a": 0.25, "b": 0.10})
+           .toPandas().set_index("doc_id").sort_index())
+    # reference: greedy in md5 order, budget a=25 (→ 3 docs of 10: the
+    # crossing doc at cum_before 20 is included), b=10 (→ 3 docs of 4)
+    for src, ids, per in [("a", list(range(6)), 10), ("b", [10, 11, 12], 4)]:
+        order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
+                       .hexdigest())
+        budget = {"a": 25, "b": 10}[src]
+        cum = 0
+        for i in order:
+            assert out.loc[i, "cum_before"] == cum, i
+            assert bool(out.loc[i, "selected"]) == (cum < budget), i
+            cum += per
+    assert not out.loc[20, "selected"]          # weight 0.0 → nothing
+    assert out["selected"].sum() == 6           # 3 from a + 3 from b
+
+    import re
+    plan = (textops.corpus_mix(docs, budget_tokens=100, weights={"a": 1.0})
+            ._jdf.queryExecution().executedPlan().toString())
+    doc_windows = [s for s in
+                   re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+                   if "_h" in s and "doc_id" in s]
+    assert doc_windows and all("_blk" in s for s in doc_windows), doc_windows
