@@ -603,7 +603,7 @@ def boilerplate_scrub(documents: DataFrame, min_docs: int = 2) -> DataFrame:
 
     Scale shape: posexplode -> md5 line key -> countDistinct(doc_id)
     (Spark expands it to two hash aggs with partial combine) -> one
-    equi-join back on the 16-byte key -> per-doc array_sort-on-position
+    equi-join back on the 32-char hex key -> per-doc array_sort-on-position
     rebuild. No broadcast of the boilerplate set (it grows with the
     corpus) and no skew surface beyond document length; a hot line
     ("Privacy Policy" x 10^9 docs) is ONE group in the count agg, not a

@@ -312,10 +312,15 @@ def test_new_ops_prune_columns_at_scan(spark):
     for op, needed, banned in [
         (textops.train_split(docs), "doc_id", "text"),
         (textops.source_quota(docs), "source", "text"),
+        # text ops must still prune the columns they DON'T need
+        (textops.repetition_scores(docs), "text", "source"),
+        (textops.boilerplate_scrub(docs), "text", "lang"),
+        (textops.corpus_mix(docs, 1000.0, {"a": 1.0}), "source", "lang"),
+        (textops.pii_scrub(docs), "text", "n_chars"),
     ]:
         plan = op._jdf.queryExecution().executedPlan().toString()
-        rs = plan[plan.index("ReadSchema"):][:250]
-        assert needed in rs and banned not in rs, rs
+        for rs in __import__("re").findall(r"ReadSchema[^\n]*", plan):
+            assert needed in rs and banned not in rs, rs
 
 
 def test_corpus_stats_rollup_levels(spark, docs):
