@@ -117,3 +117,72 @@ def stream_pages(spark: SparkSession, input_dir: str, out_dir: str,
          .start())
     q.awaitTermination()
     return q
+
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def stream_documents_dedup(spark: SparkSession, input_dir: str,
+                           out_dir: str, checkpoint_dir: str,
+                           max_files_per_trigger: int | None = None):
+    """Streaming EXACT DEDUP over an arriving document corpus: parquet
+    files landing under input_dir are consumed micro-batch-wise; each
+    batch keeps one row per text hash (keeper = min doc_id, the
+    textops.exact_dedup rule), anti-joins against every hash already
+    ingested, and lands the survivors under out_dir/batch_id=N. The
+    unique corpus is `spark.read.parquet(out_dir)` (hive partition
+    discovery adds batch_id).
+
+    Crash safety without a transaction log: each wave OVERWRITES its own
+    batch_id partition — a replayed batch (offsets commit only after
+    foreachBatch succeeds) rewrites the identical content, and the
+    anti-join excludes the batch's own partial leftovers by filtering
+    batch_id != N, so a torn append can never double-count or drop rows.
+    Cross-batch keeper semantics are arrival-order (first batch to see a
+    hash owns it); with doc_id-ordered waves this equals the batch
+    exact_dedup result (test-gated).
+
+    100 TB posture: the state read is hash-column-only (pruned at the
+    scan) and the anti-join is a hash equi-join — at corpus scale the
+    state table would be BUCKETED by text_hash so each wave's anti-join
+    co-locates without reshuffling history; the per-wave work is
+    O(batch + state-hash-column), never O(state rows x batch)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        cols = [f.name for f in DOCS_SCHEMA.fields]
+        winners = (batch_df
+                   .withColumn("text_hash",
+                               F.md5(F.encode(F.col("text"), "UTF-8")))
+                   .groupBy("text_hash")
+                   .agg(F.min(F.struct(*cols)).alias("_r"))
+                   .select("text_hash", "_r.*"))
+        if any(e.startswith("batch_id=") for e in
+               (os.listdir(out_dir) if os.path.isdir(out_dir) else [])):
+            seen = (spark.read.parquet(out_dir)
+                    .where(F.col("batch_id") != F.lit(int(batch_id)))
+                    .select("text_hash"))
+            winners = winners.join(seen, "text_hash", "left_anti")
+        (winners.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+
+    q = (stream.writeStream
+         .foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

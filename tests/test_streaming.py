@@ -145,3 +145,67 @@ def test_first_wave_crash_recovers_on_replay(spark, tmp_path, monkeypatch):
     pipeline.run(spark, pages, fb, PARAMS)
     sh.rmtree(os.path.join(fb, "raster"))
     assert not streaming._points_written_by_stream_first_wave(fb)
+
+
+def test_stream_documents_dedup_matches_batch_and_survives_torn_write(
+        spark, tmp_path):
+    """Streaming exact dedup (r5): two doc waves — with a within-batch
+    dup, a cross-batch dup, and a TORN partial write planted in the
+    incoming wave's own batch partition (a crashed earlier attempt) —
+    must land exactly the batch exact_dedup keeper set; the torn partial
+    is overwritten, not double-counted, because each wave excludes its
+    own batch_id from the seen-hash state."""
+    import pandas as pd
+
+    from imc import textops
+
+    def docs_df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame([(i, t, "en", "s", len(t)) for i, t in rows],
+                         columns=["doc_id", "text", "lang", "source",
+                                  "n_chars"]))
+
+    wave1 = [(i, f"text number {i}") for i in range(5)]
+    wave1.append((5, wave1[3][1]))            # within-batch dup of doc 3
+    wave2 = [(10 + i, f"later text {i}") for i in range(5)]
+    wave2.append((16, wave1[3][1]))           # cross-batch dup of doc 3
+    wave2.append((17, wave2[2][1]))           # within-batch dup of doc 12
+
+    in_dir = str(tmp_path / "arriving")
+    out_dir = str(tmp_path / "uniq")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    def land(rows, name):
+        staged = str(tmp_path / ("stage_" + name))
+        docs_df(rows).coalesce(1).write.mode("overwrite").parquet(staged)
+        part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(staged, part), os.path.join(in_dir, name))
+
+    land(wave1, "wave1.parquet")
+    streaming.stream_documents_dedup(spark, in_dir, out_dir, ck_dir)
+
+    # plant a torn partial from a "crashed" batch-1 attempt: stale rows
+    # (a dup of doc 3's text under a bogus keeper) in batch_id=1
+    from pyspark.sql import functions as F
+    torn = (docs_df([(999, wave1[3][1])])
+            .withColumn("text_hash", F.md5(F.encode("text", "UTF-8"))))
+    torn.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "batch_id=1"))
+
+    land(wave2, "wave2.parquet")
+    streaming.stream_documents_dedup(spark, in_dir, out_dir, ck_dir)
+
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    batch = (textops.exact_dedup(docs_df(wave1 + wave2)).toPandas()
+             .sort_values("keeper_id").reset_index(drop=True))
+    assert sorted(got["doc_id"]) == sorted(batch["keeper_id"])
+    assert set(got["text_hash"]) == set(batch["text_hash"])
+    assert 999 not in set(got["doc_id"])      # torn partial overwritten
+    assert got["doc_id"].is_unique and got["text_hash"].is_unique
+
+    # a third run with nothing new consumes no batch, adds no partition
+    parts_before = sorted(os.listdir(out_dir))
+    streaming.stream_documents_dedup(spark, in_dir, out_dir, ck_dir)
+    assert sorted(os.listdir(out_dir)) == parts_before
