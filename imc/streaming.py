@@ -144,6 +144,11 @@ def stream_documents_dedup(spark: SparkSession, input_dir: str,
     foreachBatch succeeds) rewrites the identical content, and the
     anti-join excludes the batch's own partial leftovers by filtering
     batch_id != N, so a torn append can never double-count or drop rows.
+    State detection is the state READ itself (AnalysisException → no
+    state yet): a first wave torn before any file commit (out_dir holds
+    only _temporary debris) heals on replay instead of crash-looping on
+    schema inference, and the guard works on any Hadoop filesystem, not
+    just a driver-local path.
     Cross-batch keeper semantics are arrival-order (first batch to see a
     hash owns it); with doc_id-ordered waves this equals the batch
     exact_dedup result (test-gated).
@@ -154,6 +159,9 @@ def stream_documents_dedup(spark: SparkSession, input_dir: str,
     co-locates without reshuffling history; the per-wave work is
     O(batch + state-hash-column), never O(state rows x batch)."""
     from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
+    from imc.textops import text_hash_expr
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
@@ -165,17 +173,23 @@ def stream_documents_dedup(spark: SparkSession, input_dir: str,
             return
         cols = [f.name for f in DOCS_SCHEMA.fields]
         winners = (batch_df
-                   .withColumn("text_hash",
-                               F.md5(F.encode(F.col("text"), "UTF-8")))
+                   .withColumn("text_hash", text_hash_expr())
                    .groupBy("text_hash")
                    .agg(F.min(F.struct(*cols)).alias("_r"))
                    .select("text_hash", "_r.*"))
-        if any(e.startswith("batch_id=") for e in
-               (os.listdir(out_dir) if os.path.isdir(out_dir) else [])):
-            seen = (spark.read.parquet(out_dir)
-                    .where(F.col("batch_id") != F.lit(int(batch_id)))
-                    .select("text_hash"))
-            winners = winners.join(seen, "text_hash", "left_anti")
+        try:
+            # The read IS the state-existence check: raises
+            # AnalysisException both when out_dir doesn't exist and when
+            # it holds only pre-commit _temporary debris from a torn
+            # first wave (no committed footers to infer a schema from).
+            seen = spark.read.parquet(out_dir)
+        except AnalysisException:
+            seen = None
+        if seen is not None:
+            winners = winners.join(
+                seen.where(F.col("batch_id") != F.lit(int(batch_id)))
+                    .select("text_hash"),
+                "text_hash", "left_anti")
         (winners.write.mode("overwrite")
          .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
 

@@ -42,10 +42,20 @@ def _words(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def text_hash_expr(col="text"):
+    """THE exact-dedup grouping key — md5 over UTF-8 bytes. Single
+    definition shared by batch exact_dedup and the streaming dedup's
+    persisted state (streaming.stream_documents_dedup): a hand-kept copy
+    that drifted would silently desynchronize new waves from an
+    already-materialized state table."""
+    return F.md5(F.encode(F.col(col) if isinstance(col, str) else col,
+                          "UTF-8"))
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """(text_hash, keeper_id, dup_count) — hash-groupBy exact dedup."""
     return (documents
-            .groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_hash"))
+            .groupBy(text_hash_expr().alias("text_hash"))
             .agg(F.min("doc_id").alias("keeper_id"),
                  F.count("*").alias("dup_count")))
 

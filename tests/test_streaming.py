@@ -209,3 +209,40 @@ def test_stream_documents_dedup_matches_batch_and_survives_torn_write(
     parts_before = sorted(os.listdir(out_dir))
     streaming.stream_documents_dedup(spark, in_dir, out_dir, ck_dir)
     assert sorted(os.listdir(out_dir)) == parts_before
+
+
+def test_stream_documents_dedup_first_wave_torn_before_commit(
+        spark, tmp_path):
+    """A FIRST wave crashed before any file commit leaves out_dir with
+    only pre-commit _temporary debris — zero committed footers. The
+    replay must heal (state read raises AnalysisException → treated as
+    no state), not crash-loop on parquet schema inference."""
+    import pandas as pd
+
+    def docs_df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame([(i, t, "en", "s", len(t)) for i, t in rows],
+                         columns=["doc_id", "text", "lang", "source",
+                                  "n_chars"]))
+
+    in_dir = str(tmp_path / "arriving")
+    out_dir = str(tmp_path / "uniq")
+    ck_dir = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    # debris of the crashed attempt: directory exists, no committed files
+    debris = os.path.join(out_dir, "batch_id=0", "_temporary", "0")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "task_junk"), "wb") as fh:
+        fh.write(b"\x00partial")
+
+    wave = [(i, f"text {i}") for i in range(4)] + [(9, "text 2")]
+    staged = str(tmp_path / "stage")
+    docs_df(wave).coalesce(1).write.mode("overwrite").parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(staged, part),
+                os.path.join(in_dir, "wave.parquet"))
+
+    streaming.stream_documents_dedup(spark, in_dir, out_dir, ck_dir)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got["doc_id"]) == [0, 1, 2, 3]   # dup 9 collapsed
+    assert got["text_hash"].is_unique

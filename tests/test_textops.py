@@ -319,7 +319,9 @@ def test_new_ops_prune_columns_at_scan(spark):
         (textops.pii_scrub(docs), "text", "n_chars"),
     ]:
         plan = op._jdf.queryExecution().executedPlan().toString()
-        for rs in __import__("re").findall(r"ReadSchema[^\n]*", plan):
+        schemas = __import__("re").findall(r"ReadSchema[^\n]*", plan)
+        assert schemas, plan  # a render change must fail loudly, not gate nothing
+        for rs in schemas:
             assert needed in rs and banned not in rs, rs
 
 
