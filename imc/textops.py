@@ -119,23 +119,28 @@ def lang_id(documents: DataFrame) -> DataFrame:
 def fingerprints(documents: DataFrame) -> DataFrame:
     """(doc_id, fp) — md5 of whitespace-normalized lowercased text."""
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    return documents.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+    return documents.select("doc_id", text_hash_expr(norm).alias("fp"))
+
+
+def _ngrams(col, n: int):
+    """Word-n-gram list WITH duplicates, as expressions. The single home
+    of the short-doc guard: docs with < n words get an EMPTY array —
+    Spark's sequence(1, 0) is the descending [1, 0] (not empty like
+    DuckDB's generate_series), and slice(words, 0, n) then throws
+    INVALID_PARAMETER_VALUE.START — so the index list is guarded
+    explicitly (matches the DuckDB oracle, whose generate_series(1, 0)
+    is already empty)."""
+    words = _words(col)
+    sz = F.size(words)
+    idx = F.when(sz >= n, F.sequence(F.lit(1), sz - F.lit(n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(n))))
 
 
 def _shingles(col):
-    """Word-3-gram shingle array (distinct, for Jaccard) as expressions.
-
-    Docs with < 3 words get an EMPTY array: Spark's sequence(1, 0) is the
-    descending [1, 0] (not empty like DuckDB's generate_series), and
-    slice(words, 0, 3) then throws INVALID_PARAMETER_VALUE.START — so the
-    index list is guarded explicitly (matches the DuckDB oracle, whose
-    generate_series(1, 0) is already empty)."""
-    words = _words(col)
-    n = F.size(words)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - F.lit(2))) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3)))))
+    """Word-3-gram shingle array, distinct (Jaccard set semantics)."""
+    return F.array_distinct(_ngrams(col, 3))
 
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
@@ -445,12 +450,12 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
     gets a row (n_hits = 0 when clean)."""
     bench_hashes = (benchmark
                     .select(F.explode(_shingles(F.col("text"))).alias("sh"))
-                    .select(F.md5(F.encode(F.col("sh"), "UTF-8")).alias("h"))
+                    .select(text_hash_expr("sh").alias("h"))
                     .distinct())
     doc_sh = (documents
               .select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
               .select("doc_id",
-                      F.md5(F.encode(F.col("sh"), "UTF-8")).alias("h")))
+                      text_hash_expr("sh").alias("h")))
     hits = (doc_sh.join(F.broadcast(bench_hashes), "h", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
     return (documents.select("doc_id")
@@ -461,11 +466,39 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
             .withColumn("contaminated", F.col("n_hits") >= min_hits))
 
 
-# pack_sequences' two-level prefix sum groups this many consecutive
-# doc_ids per block: the per-doc cumulative sum is a window WITHIN block
-# (distributed); only the one-row-per-block offsets pass through a
-# single task — the rank_components pattern applied to running sums
+# pack_sequences' two-level prefix sum targets this many docs per block:
+# the per-doc cumulative sum is a window WITHIN block (distributed);
+# only the one-row-per-block offsets pass through a single task — the
+# rank_components pattern applied to running sums. Block count scales
+# as n_docs / PACK_BLOCK whatever the id distribution (_pack_block_expr).
 PACK_BLOCK = 1 << 20
+
+
+def _pack_stats(documents: DataFrame) -> DataFrame:
+    """One lazy row (_minid, _maxid, _n) that _pack_block_expr reads
+    after a broadcast crossJoin — no driver-side action."""
+    return documents.agg(F.min("doc_id").alias("_minid"),
+                         F.max("doc_id").alias("_maxid"),
+                         F.count("*").alias("_n"))
+
+
+def _pack_block_expr():
+    """Block key for the two-level prefix sum: monotone non-decreasing
+    in doc_id (all correctness needs — the prefix sums are invariant to
+    boundary placement) with <= ceil(_n / PACK_BLOCK) distinct values
+    whatever the id distribution (the r5 review fix: a fixed
+    `div PACK_BLOCK` degenerates to one block per doc on sparse
+    hash-derived ids, making the offsets table O(n_docs)). The id span
+    is cut into ceil(_n / PACK_BLOCK) equal-width ranges; doubles dodge
+    int64 overflow on the span, and floor(monotone) stays monotone.
+    Expects the _pack_stats columns in scope."""
+    span = (F.col("_maxid").cast("double")
+            - F.col("_minid").cast("double") + F.lit(1.0))
+    nblk = F.greatest(F.ceil(F.col("_n") / F.lit(PACK_BLOCK)), F.lit(1)) \
+        .cast("double")
+    blkw = F.greatest(F.ceil(span / nblk).cast("double"), F.lit(1.0))
+    return F.floor((F.col("doc_id").cast("double")
+                    - F.col("_minid").cast("double")) / blkw).cast("long")
 
 
 def pack_sequences(documents: DataFrame, ctx_len: int = 2048) -> DataFrame:
@@ -478,15 +511,30 @@ def pack_sequences(documents: DataFrame, ctx_len: int = 2048) -> DataFrame:
     (doc_id order, token counts), so a rebuild bins identically.
 
     The global exclusive prefix sum is TWO-LEVEL (no single-partition
-    window over the corpus): doc_id div PACK_BLOCK groups consecutive
-    ids into blocks — cumsum within block is a distributed window keyed
-    by block; block totals (one row per block) get a running-sum offset
-    in one tiny task; doc offset = block offset + within-block cumsum.
+    window over the corpus): contiguous doc_id RANGES form blocks —
+    cumsum within block is a distributed window keyed by block; block
+    totals (one row per block) get a running-sum offset in one tiny
+    task; doc offset = block offset + within-block cumsum.
+
+    Block boundaries are ADAPTIVE, not `doc_id div PACK_BLOCK`: with
+    sparse ids (hash-derived 64-bit) a fixed divisor degenerates to one
+    block per doc — an O(n_docs) offsets table through a single-task
+    window and an O(n_docs) broadcast. Instead the id span is cut into
+    ceil(n / PACK_BLOCK) equal-width ranges from a lazily-broadcast
+    (min, max, count) row: dense sequential ids get ~PACK_BLOCK-doc
+    blocks exactly as before, uniform hash ids get ~PACK_BLOCK-doc
+    blocks too, and the offsets table is <= ceil(n / PACK_BLOCK) rows
+    whatever the distribution. The OUTPUT is invariant to boundary
+    placement — start_offset is a pure prefix sum in doc_id order, and
+    any block key monotone in doc_id yields the same sums — so the
+    oracle (one global window) needs no knowledge of the blocking.
+    Clustered adversarial ids can still unbalance block sizes (equal
+    width, not equal count); balance, not correctness, is what degrades.
     Token definition shared with token_counts (_tokens_expr)."""
-    blk = F.expr(f"doc_id div {PACK_BLOCK}")
-    docs = documents.select("doc_id",
-                            _tokens_expr().cast("long").alias("n_tokens"),
-                            blk.alias("_blk"))
+    docs = (documents.crossJoin(F.broadcast(_pack_stats(documents)))
+            .select("doc_id",
+                    _tokens_expr().cast("long").alias("n_tokens"),
+                    _pack_block_expr().alias("_blk")))
     w_in = (Window.partitionBy("_blk").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, -1))
     docs = docs.withColumn("_local",
@@ -511,12 +559,7 @@ def pack_sequences(documents: DataFrame, ctx_len: int = 2048) -> DataFrame:
 def _bigrams(col):
     """Word-2-gram list WITH duplicates (frequency analysis needs
     multiplicity — unlike _shingles' distinct set for Jaccard)."""
-    words = _words(col)
-    n = F.size(words)
-    idx = (F.when(n >= 2, F.sequence(F.lit(1), n - F.lit(1)))
-           .otherwise(F.array().cast("array<int>")))
-    return F.transform(idx,
-                       lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(2))))
+    return _ngrams(col, 2)
 
 
 def repetition_scores(documents: DataFrame) -> DataFrame:
@@ -571,7 +614,7 @@ def corpus_mix(documents: DataFrame, budget_tokens: float,
     driver-side action."""
     docs = documents.select(
         "doc_id", "source", _tokens_expr().cast("long").alias("n_tokens"),
-        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")).alias("_h"))
+        text_hash_expr(F.col("doc_id").cast("string")).alias("_h"))
     docs = docs.withColumn("_blk", F.substring("_h", 1, 2))
     w_in = (Window.partitionBy("source", "_blk").orderBy("_h", "doc_id")
             .rowsBetween(Window.unboundedPreceding, -1))
@@ -588,13 +631,13 @@ def corpus_mix(documents: DataFrame, budget_tokens: float,
     if weights is None:
         nsrc = documents.groupBy().agg(
             F.count_distinct("source").alias("_nsrc"))
-        out = docs.join(offs, ["source", "_blk"]).crossJoin(
+        out = docs.join(F.broadcast(offs), ["source", "_blk"]).crossJoin(
             F.broadcast(nsrc))
         budget = F.lit(float(budget_tokens)) / F.col("_nsrc")
     else:
         wmap = F.create_map(
             *[F.lit(x) for kv in sorted(weights.items()) for x in kv])
-        out = docs.join(offs, ["source", "_blk"])
+        out = docs.join(F.broadcast(offs), ["source", "_blk"])
         budget = F.lit(float(budget_tokens)) * F.coalesce(
             wmap[F.col("source")], F.lit(0.0))
     return out.select("doc_id", "source", "n_tokens",
@@ -621,7 +664,7 @@ def boilerplate_scrub(documents: DataFrame, min_docs: int = 2) -> DataFrame:
     lines = (documents
              .select("doc_id", F.posexplode(F.split(F.col("text"), "\n"))
                      .alias("pos", "line")))
-    key = F.md5(F.encode(F.col("line"), "UTF-8"))
+    key = text_hash_expr("line")
     boiler = (lines
               .where(F.length(F.trim(F.col("line"))) > 0)
               .groupBy(key.alias("k"))
@@ -640,9 +683,9 @@ def boilerplate_scrub(documents: DataFrame, min_docs: int = 2) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_lines"),
                  F.sum(F.col("_boiler").cast("long")).alias("n_removed"),
-                 F.md5(F.encode(
+                 text_hash_expr(
                      F.array_join(F.transform(kept, lambda s: s["line"]),
-                                  "\n"), "UTF-8")).alias("clean_sha")))
+                                  "\n")).alias("clean_sha")))
 
 
 # PII patterns pinned to the RE2 ∩ Java-regex common dialect so the
@@ -669,7 +712,7 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         "doc_id",
         emails.cast("long").alias("n_emails"),
         phones.cast("long").alias("n_phones"),
-        F.md5(F.encode(clean, "UTF-8")).alias("clean_sha"))
+        text_hash_expr(clean).alias("clean_sha"))
 
 
 def corpus_stats(documents: DataFrame) -> DataFrame:

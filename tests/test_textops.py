@@ -552,6 +552,44 @@ def test_pack_sequences_hand_computed_and_distributed_window(spark):
     assert doc_windows and all("_blk" in s for s in doc_windows), doc_windows
 
 
+def test_pack_sequences_sparse_ids_bounded_blocks(spark, monkeypatch):
+    """Hash-sparse 64-bit doc_ids must not degenerate to one block per
+    doc (r5 review: a fixed `div PACK_BLOCK` made the offsets table
+    O(n_docs) — a single-task window plus an O(n_docs) broadcast).
+    PACK_BLOCK is forced to 2 so nine ids spanning 2^60 must land in
+    <= ceil(9/2) = 5 distinct blocks (observed via the operator's own
+    block expression), and the packing output must equal the global
+    prefix sum — blocking is invisible in the result."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(textops, "PACK_BLOCK", 2)
+    ids = [3, 2**20 + 1, 2**31, 2**40 + 5, 2**45, 2**50 + 9,
+           2**55, 2**60, 2**60 + 12345]
+    rows = [(i, ("w " * k).strip()) for k, i in enumerate(ids, start=1)]
+    docs = spark.createDataFrame(
+        pd.DataFrame([(i, t, "en", "s", 0) for i, t in rows],
+                     columns=["doc_id", "text", "lang", "source",
+                              "n_chars"]))
+    n_blocks = (docs.crossJoin(F.broadcast(textops._pack_stats(docs)))
+                .select(textops._pack_block_expr().alias("b"))
+                .distinct().count())
+    assert n_blocks <= math.ceil(len(ids) / textops.PACK_BLOCK)
+
+    got = (textops.pack_sequences(docs, ctx_len=4).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # tokens are 1..9 in doc_id order → exclusive prefix sums
+    cums, acc = [], 0
+    for k in range(1, 10):
+        cums.append(acc)
+        acc += k
+    assert got["start_offset"].tolist() == cums
+    assert got["n_tokens"].tolist() == list(range(1, 10))
+    assert got["last_chunk"].tolist() == [
+        (c + k - 1) // 4 for c, k in zip(cums, range(1, 10))]
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     """PII redaction: planted emails/phones are counted and replaced
     (emails first — pinned order); clean text hashes match a hand redaction."""
