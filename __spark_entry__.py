@@ -479,6 +479,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("user_id", F.col("session_no").cast("long").alias("session_no"),
                         "n_events", "dur_sec"))
 
+    def rel_asof(spark, sf_dir):
+        # AS-OF (temporal) join: each purchase matched to the latest
+        # click AT-OR-BEFORE it by the same user — kdb aj / DuckDB
+        # ASOF JOIN semantics, expressed Spark-first as ONE per-user
+        # window (union-free: both sides filter from the same table,
+        # clicks sort before co-timestamped purchases via _side, and
+        # last(ignorenulls) carries the newest click ts forward) — one
+        # shuffle, no range-join explosion, no per-row Python. A hot
+        # user serializes through one task like any per-key ordered
+        # scan; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+        # window rewrite is checked against an independent
+        # implementation of the operator, not a SQL twin of itself.
+        # ts is TIMESTAMP_NTZ: the matched click is identified by its
+        # microsecond-formatted string (tz-free on NTZ) and the gap by
+        # an integer-seconds difference (tz offsets cancel — the repo's
+        # rel_event_pairs convention); sentinels '' / -1 keep no-match
+        # rows str/int64-exact across both engines (pandas would float
+        # a nullable BIGINT).
+        from pyspark.sql import Window
+        ev = (_tbl(spark, sf_dir, "events")
+              .where(F.col("event_type").isin("click", "purchase"))
+              .withColumn("_side",
+                          F.when(F.col("event_type") == "click", F.lit(0))
+                          .otherwise(F.lit(1))))
+        w = (Window.partitionBy("user_id").orderBy("ts", "_side", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        click_str = F.when(F.col("_side") == 0, F.date_format("ts", fmt))
+        click_sec = F.when(F.col("_side") == 0, F.unix_timestamp("ts"))
+        return (ev.withColumn("_click_ts",
+                              F.last(click_str, ignorenulls=True).over(w))
+                .withColumn("_click_sec",
+                            F.last(click_sec, ignorenulls=True).over(w))
+                .where(F.col("_side") == 1)
+                .select("user_id", "event_id",
+                        F.date_format("ts", fmt).alias("ts_str"),
+                        F.coalesce(F.col("_click_ts"), F.lit(""))
+                        .alias("click_ts"),
+                        F.coalesce(F.unix_timestamp("ts")
+                                   - F.col("_click_sec"), F.lit(-1))
+                        .alias("gap_sec")))
+
     def rel_region_revenue(spark, sf_dir):
         # 5-way snowflake join rollup: revenue by region (broadcast dims)
         r = _tbl(spark, sf_dir, "region")
@@ -497,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              rel_top_customers=rel_top_customers,
              rel_shipping_priority=rel_shipping_priority,
              rel_sessions=rel_sessions,
+             rel_asof=rel_asof,
              rel_region_revenue=rel_region_revenue)
     return q
 
@@ -1893,6 +1936,20 @@ def oracle_sql() -> dict[str, str]:
                    (floor(epoch(max(ts)))::BIGINT
                     - floor(epoch(min(ts)))::BIGINT) AS dur_sec
             FROM s GROUP BY user_id, session_no
+        """,
+        "rel_asof": """
+            WITH c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'purchase')
+            SELECT p.user_id, p.event_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+                   coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), '')
+                     AS click_ts,
+                   coalesce(floor(epoch(p.ts))::BIGINT
+                            - floor(epoch(c.ts))::BIGINT, -1) AS gap_sec
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "rel_region_revenue": """
             SELECT r_name, count(*) AS n_orders,
