@@ -43,11 +43,13 @@ def _words(col):
 
 
 def text_hash_expr(col="text"):
-    """THE exact-dedup grouping key — md5 over UTF-8 bytes. Single
-    definition shared by batch exact_dedup and the streaming dedup's
-    persisted state (streaming.stream_documents_dedup): a hand-kept copy
-    that drifted would silently desynchronize new waves from an
-    already-materialized state table."""
+    """THE md5-over-UTF-8-bytes expression — the exact-dedup grouping
+    key, and the one hash every bit-sensitive textop derives from
+    (minhash shingle hashes, LSH band buckets, simhash token hashes).
+    Single definition shared with the streaming dedup's persisted state
+    (streaming.stream_documents_dedup): a hand-kept copy that drifted
+    would silently desynchronize new waves from an already-materialized
+    state table, or Spark output from the DuckDB oracles."""
     return F.md5(F.encode(F.col(col) if isinstance(col, str) else col,
                           "UTF-8"))
 
@@ -159,8 +161,8 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
           .select("doc_id", F.explode(_shingles(F.col("text"))).alias("s")))
     hh = sh.select(
         "doc_id",
-        F.concat(F.md5(F.encode(F.col("s"), "UTF-8")),
-                 F.md5(F.encode(F.concat(F.col("s"), F.lit("#")), "UTF-8"))).alias("hh"))
+        F.concat(text_hash_expr(F.col("s")),
+                 text_hash_expr(F.concat(F.col("s"), F.lit("#")))).alias("hh"))
     aggs = [F.min(F.substring("hh", 8 * i + 1, 8)).alias(f"sig_{i}") for i in range(k)]
     return hh.groupBy("doc_id").agg(*aggs)
 
@@ -185,7 +187,7 @@ def lsh_dup_pairs(documents: DataFrame, k: int = MINHASH_K,
         band_frames.append(sigs.select(
             "doc_id",
             F.lit(b).alias("band"),
-            F.md5(F.encode(F.concat_ws("|", *parts), "UTF-8")).alias("bucket")))
+            text_hash_expr(F.concat_ws("|", *parts)).alias("bucket")))
     buckets = band_frames[0]
     for bf in band_frames[1:]:
         buckets = buckets.unionByName(bf)
@@ -267,7 +269,7 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower(F.col("text")),
                                        F.lit(r"\S+"), 0)).alias("tok"))
-    hx = F.md5(F.encode(F.col("tok"), "UTF-8"))
+    hx = text_hash_expr(F.col("tok"))
     digits = [F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
               for i in range(16)]
     td = toks.select("doc_id", *digits)

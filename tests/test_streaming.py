@@ -187,9 +187,9 @@ def test_stream_documents_dedup_matches_batch_and_survives_torn_write(
 
     # plant a torn partial from a "crashed" batch-1 attempt: stale rows
     # (a dup of doc 3's text under a bogus keeper) in batch_id=1
-    from pyspark.sql import functions as F
+    from imc.textops import text_hash_expr
     torn = (docs_df([(999, wave1[3][1])])
-            .withColumn("text_hash", F.md5(F.encode("text", "UTF-8"))))
+            .withColumn("text_hash", text_hash_expr()))
     torn.write.mode("overwrite").parquet(
         os.path.join(out_dir, "batch_id=1"))
 
