@@ -126,6 +126,10 @@ def run_suite(spark, sf_dir: str, pages_path: str, pages_sf: float):
     # corpus op, worth a baseline row of its own)
     timed("dedup_clusters", lambda: textops.dedup_clusters(docs).count())
     timed("text_quality", lambda: textops.quality_scores(docs).count())
+    # r5 corpus-assembly representative: concat-then-chunk sequence
+    # packing — the two-level distributed prefix sum (block window +
+    # tiny block-offset join, no single-partition window)
+    timed("text_pack", lambda: textops.pack_sequences(docs).count())
     timed("ann_topk", lambda: similarity.ann_topk_bruteforce(emb, 5, 50).count())
     timed("ann_lsh_multi",
           lambda: similarity.ann_topk_lsh_multi(emb, 5, 50).count())
