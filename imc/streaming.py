@@ -200,3 +200,169 @@ def stream_documents_dedup(spark: SparkSession, input_dir: str,
          .start())
     q.awaitTermination()
     return q
+
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+_SESSION_OUT = ("user_id long, start_ts timestamp, end_ts timestamp, "
+                "n_events long, dur_sec long")
+# state in MICROSECONDS: the fixture timestamps carry sub-ms precision
+# and emitted start/end must round-trip exactly
+_SESSION_STATE = "start_us long, last_us long, n long"
+
+
+def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
+                      checkpoint_dir: str, gap_sec: int = 1800,
+                      max_files_per_trigger: int | None = None):
+    """CUSTOM STATEFUL streaming operator (SURVEY.md §2.10): gap-based
+    sessionization of an arriving event stream via
+    `applyInPandasWithState` — the same >gap_sec-silence-starts-a-new-
+    session rule as the batch `rel_sessions` query, maintained
+    incrementally per user across micro-batches.
+
+    Semantics: events are grouped by user_id; per-user state holds the
+    ONE open session (start_ms, last_ms, n). Each batch's rows merge in
+    event-time order; a gap > gap_sec closes the preceding session and
+    emits it (append mode). The open session closes either when a later
+    batch shows the gap, or when the event-time WATERMARK (delay =
+    gap_sec) passes last_ts + gap — registered as an EventTimeTimeout so
+    quiet users flush without new data. A timeout timestamp that would
+    not be strictly ahead of the current watermark means the session is
+    already closed by watermark arithmetic: emit it in this batch rather
+    than registering an invalid timeout.
+
+    Emitted sessions equal the batch rel_sessions result when waves
+    arrive in event-time order (test-gated vs the batch twin); rows
+    later than the watermark are dropped by Spark's state-store
+    pre-filter — standard late-data semantics, also test-gated.
+
+    100 TB posture: state is 3 longs per ACTIVE user (bounded by the
+    watermark timeout, not corpus history); each batch shuffles once on
+    user_id into the state store; the per-group walk is a vectorized
+    pandas pass over that group's batch slice only. No driver-side
+    state, no growth with stream length."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_sec) * 1_000_000
+
+    def _emit(start_us: int, last_us: int, n: int, uid) -> "pd.DataFrame":
+        return pd.DataFrame({
+            "user_id": [uid],
+            "start_ts": [pd.Timestamp(start_us, unit="us")],
+            "end_ts": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            # floor-to-second endpoints, matching the batch twin's
+            # unix_timestamp(max) - unix_timestamp(min)
+            "dur_sec": [last_us // 1_000_000 - start_us // 1_000_000],
+        })
+
+    def _fold(key, pdf_iter, state: "GroupState"):
+        (uid,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit(start_us, last_us, n, uid)
+            return
+        parts = [pdf[["ts", "event_id"]] for pdf in pdf_iter]
+        ev = pd.concat(parts).sort_values(["ts", "event_id"])
+        us = (ev["ts"].astype("int64") // 1_000).to_numpy()
+        out = []
+        if state.exists:
+            start_us, last_us, n = state.get
+            first = 0
+        else:
+            start_us = last_us = int(us[0])
+            n = 1
+            first = 1
+        for t in us[first:]:
+            t = int(t)
+            if t - last_us > gap_us:
+                out.append((start_us, last_us, n))
+                start_us, n = t, 1
+            else:
+                n += 1
+            last_us = t
+        wm_ms = state.getCurrentWatermarkMs()
+        timeout_ms = (last_us + gap_us) // 1000 + 1
+        if timeout_ms <= wm_ms:
+            # watermark already proves no on-time event can extend this
+            # session — close it now; EventTimeTimeout timestamps must
+            # be strictly ahead of the watermark
+            out.append((start_us, last_us, n))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp(timeout_ms)
+        for s, e, k in out:
+            yield _emit(s, e, k, uid)
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    sessions = (stream
+                .withWatermark("ts", f"{gap_sec} seconds")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    _fold, _SESSION_OUT, _SESSION_STATE, "append",
+                    GroupStateTimeout.EventTimeTimeout))
+
+    q = (sessions.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def stream_window_counts(spark: SparkSession, input_dir: str, out_dir: str,
+                         checkpoint_dir: str, window: str = "1 hour",
+                         delay: str = "30 minutes",
+                         max_files_per_trigger: int | None = None):
+    """WATERMARKED tumbling-window aggregation (SURVEY.md §2.10): hourly
+    event counts + value sums per event_type over an arriving stream,
+    with standard late-data semantics — `withWatermark(ts, delay)` +
+    `groupBy(window(ts, window))` in APPEND mode, so a window row lands
+    in the parquet sink exactly once, when the watermark passes its end;
+    rows arriving later than the watermark are dropped (test-gated
+    against the batch twin computed over the on-time rows only).
+
+    100 TB posture: this is Spark's native streaming state-store agg —
+    partial aggregation map-side, one shuffle on (window, event_type),
+    state bounded by (windows within the watermark horizon ×
+    event_types), independent of stream length."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    agg = (stream
+           .withWatermark("ts", delay)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"))
+           .select(F.col("w.start").alias("win_start"), "event_type",
+                   "n_events", "sum_value"))
+
+    q = (agg.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

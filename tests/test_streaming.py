@@ -246,3 +246,130 @@ def test_stream_documents_dedup_first_wave_torn_before_commit(
     got = spark.read.parquet(out_dir).toPandas()
     assert sorted(got["doc_id"]) == [0, 1, 2, 3]   # dup 9 collapsed
     assert got["text_hash"].is_unique
+
+
+def _land_events(df, in_dir, name):
+    """Write one wave of events (μs timestamps so Spark's reader sees a
+    parquet TIMESTAMP, not a raw ns INT64)."""
+    os.makedirs(in_dir, exist_ok=True)
+    df.assign(ts=df.ts.astype("datetime64[us]")).to_parquet(
+        os.path.join(in_dir, name), index=False)
+
+
+def _sentinel(after_ts):
+    """One far-future event that advances the GLOBAL watermark past every
+    open session/window so EventTimeTimeout / append-mode finalization
+    fire; its own user/window stays open and is filtered out of asserts."""
+    return pd.DataFrame({
+        "event_id": [10**9], "ts": [after_ts + pd.Timedelta(days=30)],
+        "user_id": [-1], "event_type": ["sentinel"],
+        "value": [0.0], "props": [""]})
+
+
+@pytest.mark.usefixtures("spark")
+def test_stream_sessionize_matches_batch_twin(spark, tmp_path):
+    """applyInPandasWithState sessionization (SURVEY.md §2.10): three
+    SEPARATE availableNow runs (waves split at the median timestamp +
+    a sentinel) must emit exactly the batch gap-sessionization — state
+    carries open sessions across micro-batches AND across stream
+    restarts (watermark + state live in the checkpoint), and the final
+    flush comes from the event-time TIMEOUT, not from data."""
+    pdf = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True))
+    # split INSIDE a multi-event session (two same-user events < 30min
+    # apart) so at least one open session provably crosses the wave
+    # boundary and must be carried in state
+    by_user = pdf.sort_values(["user_id", "ts", "event_id"])
+    gap_ok = ((by_user.user_id == by_user.user_id.shift(-1))
+              & (by_user.ts.shift(-1) > by_user.ts)
+              & (by_user.ts.shift(-1) - by_user.ts <= pd.Timedelta(minutes=30)))
+    assert gap_ok.any(), "fixture has no 2-event session to split"
+    mid = by_user.loc[gap_ok.idxmax(), "ts"]
+    waves = [pdf[pdf.ts <= mid], pdf[pdf.ts > mid], _sentinel(pdf.ts.max())]
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    for i, w in enumerate(waves):
+        _land_events(w, in_dir, f"wave{i}.parquet")
+        streaming.stream_sessionize(spark, in_dir, out_dir, ck,
+                                    gap_sec=1800)
+
+    got = (spark.read.parquet(out_dir).filter("user_id >= 0").toPandas()
+           .sort_values(["user_id", "start_ts"]).reset_index(drop=True))
+
+    # batch twin: same μs-exact gap rule, computed in pandas
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        us = (g.sort_values(["ts", "event_id"])["ts"]
+              .astype("int64") // 1000).tolist()
+        start = last = us[0]
+        n = 1
+        for t in us[1:]:
+            if t - last > 1800 * 1_000_000:
+                rows.append((uid, start, last, n))
+                start, n = t, 1
+            else:
+                n += 1
+            last = t
+        rows.append((uid, start, last, n))
+    exp = pd.DataFrame(rows, columns=["user_id", "s", "e", "n_events"])
+    exp["start_ts"] = pd.to_datetime(exp.pop("s"), unit="us")
+    exp["end_ts"] = pd.to_datetime(exp.pop("e"), unit="us")
+    exp["dur_sec"] = (exp.end_ts.astype("int64") // 10**9
+                      - exp.start_ts.astype("int64") // 10**9)
+    exp = (exp[["user_id", "start_ts", "end_ts", "n_events", "dur_sec"]]
+           .sort_values(["user_id", "start_ts"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # multi-session users prove the walk; cross-wave continuation proves
+    # the state carry (a session spanning the wave split)
+    assert (exp.groupby("user_id").size() > 1).any()
+    assert ((exp.start_ts <= mid) & (exp.end_ts > mid)).any()
+
+
+@pytest.mark.usefixtures("spark")
+def test_stream_window_counts_drops_late_rows_and_matches_batch(
+        spark, tmp_path):
+    """Watermarked tumbling-window agg (SURVEY.md §2.10): append-mode
+    hourly counts equal the batch groupBy over the ON-TIME rows only —
+    a row arriving a wave AFTER the watermark passed its window end is
+    dropped, and every on-time window flushes exactly once (sentinel
+    advances the watermark; its own window stays open and unemitted)."""
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = ev.toPandas()
+    late = pd.DataFrame({
+        "event_id": [10**8], "ts": [pd.Timestamp("2024-01-01 00:30:00")],
+        "user_id": [1], "event_type": ["click"],
+        "value": [5.0], "props": [""]})
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    for i, w in enumerate([pdf, late, _sentinel(pdf.ts.max())]):
+        _land_events(w, in_dir, f"wave{i}.parquet")
+        streaming.stream_window_counts(spark, in_dir, out_dir, ck)
+
+    got = (spark.read.parquet(out_dir)
+           .filter("event_type <> 'sentinel'").toPandas()
+           .sort_values(["win_start", "event_type"]).reset_index(drop=True))
+    exp = (ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"),
+                      "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"))
+           .toPandas()
+           .sort_values(["win_start", "event_type"]).reset_index(drop=True))
+
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # teeth-check: the late row's (window, type) cell in GOT matches the
+    # on-time batch exactly — had the late click been counted, this cell
+    # would hold one more event (or exist where exp has none)
+    sel = lambda df: df[(df.win_start == pd.Timestamp("2024-01-01")) &  # noqa: E731
+                        (df.event_type == "click")]
+    h0e, h0g = sel(exp), sel(got)
+    assert len(h0g) == len(h0e)
+    if len(h0e):
+        assert h0g.n_events.iloc[0] == h0e.n_events.iloc[0]
