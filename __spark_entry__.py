@@ -521,6 +521,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    - F.col("_click_sec"), F.lit(-1))
                         .alias("gap_sec")))
 
+    def rel_hourly(spark, sf_dir):
+        # tumbling-window event rollup — the BATCH TWIN of
+        # imc/streaming.py's stream_window_counts (same hourly window,
+        # same count/sum aggregates), so the streaming operator's
+        # semantics have a hash-exact oracle anchor even though the
+        # stream itself is not SQL-expressible. win_start as a formatted
+        # string (the rel_asof NTZ convention) keeps the hash stable
+        # across engines. One partial-agg shuffle on (hour, type) —
+        # scale-safe at any corpus size.
+        ev = _tbl(spark, sf_dir, "events")
+        return (ev.groupBy(
+                    F.date_format(F.date_trunc("hour", "ts"),
+                                  "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                    "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("sum_value")))
+
     def rel_region_revenue(spark, sf_dir):
         # 5-way snowflake join rollup: revenue by region (broadcast dims)
         r = _tbl(spark, sf_dir, "region")
@@ -540,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              rel_shipping_priority=rel_shipping_priority,
              rel_sessions=rel_sessions,
              rel_asof=rel_asof,
+             rel_hourly=rel_hourly,
              rel_region_revenue=rel_region_revenue)
     return q
 
@@ -1936,6 +1954,13 @@ def oracle_sql() -> dict[str, str]:
                    (floor(epoch(max(ts)))::BIGINT
                     - floor(epoch(min(ts)))::BIGINT) AS dur_sec
             FROM s GROUP BY user_id, session_no
+        """,
+        "rel_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS win_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "rel_asof": """
             WITH c AS (SELECT user_id, ts FROM events
