@@ -293,6 +293,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus composition ROLLUP — the SURVEY §2.5 cube/rollup row
         return textops.corpus_stats(_tbl(spark, sf_dir, "documents"))
 
+    def text_quantiles(spark, sf_dir):
+        # exact per-language length percentiles (continuous
+        # interpolation, same definition as DuckDB quantile_cont)
+        return textops.length_quantiles(_tbl(spark, sf_dir, "documents"))
+
+    def text_top_terms(spark, sf_dir):
+        # exact per-language top-10 token heavy hitters via the sharded
+        # two-phase top-k (no single per-language vocab task)
+        return textops.top_terms(_tbl(spark, sf_dir, "documents"), 10)
+
     def text_decontaminate(spark, sf_dir):
         # benchmark decontamination (r5): every 37th doc stands in for
         # the eval set; the rest of the corpus is screened against its
@@ -392,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              dedup_clusters=dedup_clusters, text_split=text_split,
              text_source_quota=text_source_quota,
              text_corpus_stats=text_corpus_stats,
+             text_quantiles=text_quantiles,
+             text_top_terms=text_top_terms,
              text_decontaminate=text_decontaminate, text_pack=text_pack,
              text_pii=text_pii, text_repetition=text_repetition,
              text_boilerplate=text_boilerplate, text_mix=text_mix,
@@ -1833,6 +1845,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(regexp_extract_all(text, '\S+')))::BIGINT
                      AS n_tokens
             FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "text_quantiles": r"""
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars::DOUBLE, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars::DOUBLE, 0.99), 6) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "text_top_terms": r"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+            c AS (SELECT lang, term, count(*) AS n
+                  FROM tok GROUP BY lang, term),
+            r AS (SELECT lang, term, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, term) AS rk
+                  FROM c)
+            SELECT lang, term, n, rk::BIGINT AS rk FROM r WHERE rk <= 10
         """,
         "ann_topk_ivf": f"""
             WITH seeds AS ({_ivf_seeds_sql()}),

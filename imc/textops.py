@@ -744,3 +744,68 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
                  F.grouping("source").alias("_gs"))
             .select(key("lang", "_gl"), key("source", "_gs"),
                     "n_docs", "n_tokens"))
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """(lang, n_docs, p50, p90, p99) — EXACT interpolated percentiles of
+    document length per language: the length-distribution audit a corpus
+    build runs before picking truncation/packing parameters.
+
+    Spark's `percentile` (exact, continuous interpolation at rank
+    p·(n−1) — the same definition as DuckDB's quantile_cont, which is
+    the oracle) over a (lang) groupBy. Values round to 1e-6 before the
+    hash compare; interpolation arithmetic is identical IEEE doubles on
+    both engines, so the round is belt-and-braces, not a fudge.
+
+    100 TB posture: exact percentile materializes each group's value
+    multiset in the agg buffer — fine per-language (languages are few;
+    the buffer is per-GROUP, distributed over executors), and honest
+    about the cost; at petabyte-per-group scale the drop-in is
+    approx_percentile (t-digest, same call shape), traded consciously
+    because its outputs are engine-specific and un-oracle-able."""
+    pct = F.percentile(F.col("n_chars").cast("double"),
+                       F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (documents.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"), pct.alias("_p"))
+            .select("lang", "n_docs",
+                    F.round(F.col("_p")[0], 6).alias("p50"),
+                    F.round(F.col("_p")[1], 6).alias("p90"),
+                    F.round(F.col("_p")[2], 6).alias("p99")))
+
+
+def top_terms(documents: DataFrame, k: int = 10,
+              shards: int = 32) -> DataFrame:
+    """(lang, term, n, rk) — exact per-language top-k token heavy
+    hitters (count desc, term asc): the vocabulary/term-frequency audit
+    behind tokenizer training and junk-domain detection.
+
+    Tokens are _tokens-style `\\S+` matches of lower(text) — the repo's
+    ONE whitespace-token definition, shared with the oracle. Plan shape:
+    explode → ONE partial-agg shuffle on (lang, term) → the same exact
+    two-phase top-k as source_quota, but over AGGREGATED term counts:
+    phase 1 ranks within (lang, pmod(hash(term), shards)) — a term in
+    its language's global top-k is in its shard's top-k (ranks only
+    shrink under subsetting), so keeping rk1 ≤ k never drops a final
+    row; phase 2 re-ranks the ≤ shards×k survivors per language.
+
+    100 TB posture: the heavy explode aggregates map-side before the
+    shuffle; web-scale vocabularies (billions of junk terms) never pass
+    through a single per-language task — the straggler the sharded
+    phase 1 exists to prevent."""
+    term = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0))
+    counts = (documents
+              .select("lang", term.alias("term"))
+              .groupBy("lang", "term")
+              .agg(F.count("*").alias("n")))
+    w1 = (Window.partitionBy("lang", "_shard")
+          .orderBy(F.desc("n"), "term"))
+    survivors = (counts
+                 .withColumn("_shard", F.pmod(F.hash("term"), F.lit(shards)))
+                 .withColumn("_rk1", F.row_number().over(w1))
+                 .filter(F.col("_rk1") <= k))
+    w2 = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (survivors
+            .select("lang", "term", "n",
+                    F.row_number().over(w2).cast("long").alias("rk"))
+            .filter(F.col("rk") <= k))

@@ -317,6 +317,8 @@ def test_new_ops_prune_columns_at_scan(spark):
         (textops.boilerplate_scrub(docs), "text", "lang"),
         (textops.corpus_mix(docs, 1000.0, {"a": 1.0}), "source", "lang"),
         (textops.pii_scrub(docs), "text", "n_chars"),
+        (textops.length_quantiles(docs), "n_chars", "text"),
+        (textops.top_terms(docs), "text", "n_chars"),
     ]:
         plan = op._jdf.queryExecution().executedPlan().toString()
         schemas = __import__("re").findall(r"ReadSchema[^\n]*", plan)
@@ -712,3 +714,46 @@ def test_corpus_mix_weighted_hand_computed_and_sharded_window(spark):
                    re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
                    if "_h" in s and "doc_id" in s]
     assert doc_windows and all("_blk" in s for s in doc_windows), doc_windows
+
+
+def test_length_quantiles_matches_numpy(spark):
+    pdf = pd.DataFrame(
+        [(i, "t", "en" if i % 2 else "de", "s", (i * 37) % 101 + 10)
+         for i in range(60)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = (textops.length_quantiles(spark.createDataFrame(pdf))
+           .toPandas().set_index("lang"))
+    import numpy as np
+    for lg, g in pdf.groupby("lang"):
+        assert out.loc[lg, "n_docs"] == len(g)
+        for col, p in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            # same continuous-interpolation definition as numpy 'linear'
+            want = round(float(np.quantile(g.n_chars.astype(float), p)), 6)
+            assert out.loc[lg, col] == pytest.approx(want, abs=1e-6), (lg, col)
+
+
+def test_top_terms_exact_and_shard_invariant(spark):
+    """The two-phase heavy-hitter rank equals the single-window form for
+    any shard count, with (count desc, term asc) tie order, and no
+    per-language vocab ever funnels through one task (phase-1 exchange
+    keyed by (lang, shard) — explain-gated, the source_quota pattern)."""
+    rows = []
+    for i in range(40):
+        # 'zz' dominates, then 'bb' and 'aa' tie, then unique junk
+        rows.append((i, f"zz zz bb aa junk{i}", "en", "s", 0))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    docs = spark.createDataFrame(pdf)
+    out = textops.top_terms(docs, k=3, shards=8)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_shard" in e and "lang" in e for e in exchanges), exchanges
+
+    got = out.toPandas().sort_values("rk").reset_index(drop=True)
+    assert got["term"].tolist() == ["zz", "aa", "bb"]  # tie: aa < bb
+    assert got["n"].tolist() == [80, 40, 40]
+    got2 = (textops.top_terms(docs, k=3, shards=1).toPandas()
+            .sort_values("rk").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
