@@ -550,6 +550,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_events"),
                      F.round(F.sum("value"), 2).alias("sum_value")))
 
+    def rel_props_json(spark, sf_dir):
+        # SEMI-STRUCTURED extraction: events.props is a JSON string;
+        # parse with from_json against an explicit schema (a Catalyst
+        # JSON expression inside whole-stage codegen — never a Python
+        # json.loads UDF) and roll the extracted field up by event_type.
+        # The web-scale shape: typed extraction at the scan edge so only
+        # the parsed column (not the raw JSON) crosses the shuffle.
+        ev = _tbl(spark, sf_dir, "events")
+        k = F.from_json("props", "k INT")["k"]
+        return (ev.select("event_type", k.alias("_k"))
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum("_k").cast("long").alias("sum_k"),
+                     F.min("_k").cast("long").alias("min_k"),
+                     F.max("_k").cast("long").alias("max_k")))
+
     def rel_region_revenue(spark, sf_dir):
         # 5-way snowflake join rollup: revenue by region (broadcast dims)
         r = _tbl(spark, sf_dir, "region")
@@ -570,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              rel_sessions=rel_sessions,
              rel_asof=rel_asof,
              rel_hourly=rel_hourly,
+             rel_props_json=rel_props_json,
              rel_region_revenue=rel_region_revenue)
     return q
 
@@ -1986,6 +2003,13 @@ def oracle_sql() -> dict[str, str]:
                    (floor(epoch(max(ts)))::BIGINT
                     - floor(epoch(min(ts)))::BIGINT) AS dur_sec
             FROM s GROUP BY user_id, session_no
+        """,
+        "rel_props_json": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   min(json_extract(props, '$.k')::BIGINT) AS min_k,
+                   max(json_extract(props, '$.k')::BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "rel_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
