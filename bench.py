@@ -130,6 +130,9 @@ def run_suite(spark, sf_dir: str, pages_path: str, pages_sf: float):
     # packing — the two-level distributed prefix sum (block window +
     # tiny block-offset join, no single-partition window)
     timed("text_pack", lambda: textops.pack_sequences(docs).count())
+    # late-r5 heavy-hitter op: token explode → partial-agg shuffle →
+    # sharded two-phase top-k (the vocabulary-audit workload)
+    timed("text_top_terms", lambda: textops.top_terms(docs).count())
     timed("ann_topk", lambda: similarity.ann_topk_bruteforce(emb, 5, 50).count())
     timed("ann_lsh_multi",
           lambda: similarity.ann_topk_lsh_multi(emb, 5, 50).count())
