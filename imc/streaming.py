@@ -228,9 +228,15 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
     incrementally per user across micro-batches.
 
     Semantics: events are grouped by user_id; per-user state holds the
-    ONE open session (start_ms, last_ms, n). Each batch's rows merge in
-    event-time order; a gap > gap_sec closes the preceding session and
-    emits it (append mode). The open session closes either when a later
+    ONE open session (start_us, last_us, n — MICROSECONDS, matching the
+    fixture's sub-ms timestamps). Each batch's rows merge in event-time
+    order; a gap > gap_sec closes the preceding session and emits it
+    (append mode). On-time rows arriving BEHIND the open session (the
+    watermark contract permits them) count into it without moving its
+    boundaries backwards, extend its start when within gap before it,
+    or — when detached by more than the gap — emit as best-effort
+    singleton sessions (3-long state cannot reconstruct the earlier
+    timeline; event-time-ordered waves never produce them). The open session closes either when a later
     batch shows the gap, or when the event-time WATERMARK (delay =
     gap_sec) passes last_ts + gap — registered as an EventTimeTimeout so
     quiet users flush without new data. A timeout timestamp that would
@@ -285,12 +291,30 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
             first = 1
         for t in us[first:]:
             t = int(t)
-            if t - last_us > gap_us:
-                out.append((start_us, last_us, n))
-                start_us, n = t, 1
-            else:
+            if t >= last_us:
+                # the normal, event-time-ordered path
+                if t - last_us > gap_us:
+                    out.append((start_us, last_us, n))
+                    start_us, n = t, 1
+                else:
+                    n += 1
+                last_us = t
+            elif t >= start_us:
+                # on-time but out-of-order row INSIDE the open session
+                # (Spark's watermark contract permits these): count it,
+                # never move the boundaries backwards (review r5: an
+                # unconditional `last_us = t` regressed the session end,
+                # emitting sessions that precede events they counted)
                 n += 1
-            last_us = t
+            elif start_us - t <= gap_us:
+                # within gap BEFORE the open session: extend start back
+                start_us = t
+                n += 1
+            else:
+                # detached earlier event — best-effort: its own session
+                # (the full earlier timeline is no longer reconstructable
+                # from 3-long state; ordered waves never hit this)
+                out.append((t, t, 1))
         wm_ms = state.getCurrentWatermarkMs()
         timeout_ms = (last_us + gap_us) // 1000 + 1
         if timeout_ms <= wm_ms:

@@ -70,6 +70,15 @@ def _tokens_expr():
     return F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
 
 
+def _terms_expr():
+    """Exploded LOWERCASED whitespace tokens of `text` — the one term
+    definition simhash_fingerprints and top_terms (and their DuckDB
+    oracles) share; the case-folded sibling of _tokens_expr (review r5:
+    a second verbatim copy of this explode had already appeared)."""
+    return F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0))
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars_text) — whitespace tokenization."""
     return documents.select(
@@ -265,10 +274,7 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     shuffle) → sign-pack. Bit b of a token's hash = bit (b%4) of hex digit
     15−b//4 of the md5 (first 8 bytes, big-endian) — matching simhash64_py
     and the DuckDB oracle exactly. Tokenless docs get simhash 0."""
-    toks = documents.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all(F.lower(F.col("text")),
-                                       F.lit(r"\S+"), 0)).alias("tok"))
+    toks = documents.select("doc_id", _terms_expr().alias("tok"))
     hx = text_hash_expr(F.col("tok"))
     digits = [F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
               for i in range(16)]
@@ -779,8 +785,8 @@ def top_terms(documents: DataFrame, k: int = 10,
     hitters (count desc, term asc): the vocabulary/term-frequency audit
     behind tokenizer training and junk-domain detection.
 
-    Tokens are _tokens-style `\\S+` matches of lower(text) — the repo's
-    ONE whitespace-token definition, shared with the oracle. Plan shape:
+    Tokens are _terms_expr — the repo's one case-folded whitespace-token
+    definition, shared with simhash and the oracles. Plan shape:
     explode → ONE partial-agg shuffle on (lang, term) → the same exact
     two-phase top-k as source_quota, but over AGGREGATED term counts:
     phase 1 ranks within (lang, pmod(hash(term), shards)) — a term in
@@ -792,10 +798,8 @@ def top_terms(documents: DataFrame, k: int = 10,
     shuffle; web-scale vocabularies (billions of junk terms) never pass
     through a single per-language task — the straggler the sharded
     phase 1 exists to prevent."""
-    term = F.explode(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0))
     counts = (documents
-              .select("lang", term.alias("term"))
+              .select("lang", _terms_expr().alias("term"))
               .groupBy("lang", "term")
               .agg(F.count("*").alias("n")))
     w1 = (Window.partitionBy("lang", "_shard")

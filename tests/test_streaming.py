@@ -373,3 +373,42 @@ def test_stream_window_counts_drops_late_rows_and_matches_batch(
     assert len(h0g) == len(h0e)
     if len(h0e):
         assert h0g.n_events.iloc[0] == h0e.n_events.iloc[0]
+
+
+@pytest.mark.usefixtures("spark")
+def test_stream_sessionize_out_of_order_on_time_row(spark, tmp_path):
+    """Review r5: an on-time row arriving a wave LATE (behind the open
+    session's last event, but ahead of the watermark — permitted by the
+    watermark contract) must count into the session WITHOUT regressing
+    its end; the old unconditional `last_us = t` made a later in-gap
+    event look detached and split the session."""
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + pd.Timedelta(minutes=minutes), uid, "click",
+                1.0, "")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # wave1: user 1 at +0 and +20; user 2 at +25 keeps the watermark at
+    # (+25 − gap) = −5min, so wave2's +10 row is ON-TIME
+    w1 = pd.DataFrame([ev(1, 1, 0), ev(2, 1, 20), ev(3, 2, 25)],
+                      columns=cols)
+    # wave2: user 1's out-of-order row INSIDE the open session
+    w2 = pd.DataFrame([ev(4, 1, 10)], columns=cols)
+    # wave3: +45 is within gap of the TRUE last (+20): same session —
+    # the buggy regression to last=+10 would split here (35min > 30min)
+    w3 = pd.DataFrame([ev(5, 1, 45)], columns=cols)
+
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    for i, w in enumerate([w1, w2, w3,
+                           _sentinel(t0 + pd.Timedelta(minutes=45))]):
+        _land_events(w, in_dir, f"wave{i}.parquet")
+        streaming.stream_sessionize(spark, in_dir, out_dir, ck,
+                                    gap_sec=1800)
+
+    got = (spark.read.parquet(out_dir).filter("user_id = 1").toPandas()
+           .sort_values("start_ts").reset_index(drop=True))
+    assert len(got) == 1, got
+    assert got.n_events.iloc[0] == 4
+    assert got.start_ts.iloc[0] == t0
+    assert got.end_ts.iloc[0] == t0 + pd.Timedelta(minutes=45)
