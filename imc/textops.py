@@ -601,7 +601,8 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
 
 
 def corpus_mix(documents: DataFrame, budget_tokens: float,
-               weights: dict[str, float] | None = None) -> DataFrame:
+               weights: dict[str, float] | None = None,
+               block_docs: int | None = None) -> DataFrame:
     """(doc_id, source, n_tokens, cum_before, selected) — token-budget
     corpus MIXING, the mixture-weighting step of a training-data build:
     each source gets budget_tokens * weight tokens (uniform over the
@@ -612,18 +613,37 @@ def corpus_mix(documents: DataFrame, budget_tokens: float,
     so the boundary doc is included (pinned greedy-include).
 
     The per-source exclusive prefix sum is TWO-LEVEL, like
-    pack_sequences: the first hex byte of the priority hash blocks the
-    order into 256 contiguous ranges — cumsum within (source, block) is
-    a distributed window, block totals get a running offset in a tiny
-    256-rows-per-source window — so a mega-source holding half the
-    corpus never funnels through one task (the source_quota straggler
-    fix, VERDICT r04 #2, applied to prefix sums). Uniform weights come
+    pack_sequences: a hash-prefix of the priority hash blocks each
+    source's order into contiguous ranges — cumsum within
+    (source, block) is a distributed window, block totals get a running
+    offset in a small per-source window.
+
+    The block key is ADAPTIVE per source (VERDICT r05 #1): the hex
+    prefix LENGTH is ceil(log16(n_src / block_docs)) from a broadcast
+    per-source count, so a mega-source holding half a 100 TB corpus
+    gets enough blocks that each window task stays ~block_docs-sized
+    (a fixed 2-hex prefix capped every source at 256 blocks — 0.2% of
+    the corpus through EACH single task at target scale). md5 is
+    uniform over hex, so blocks are balanced; a fixed-length prefix of
+    a fixed-length hex string is monotone in (_h) order, so the
+    two-level sum is boundary-invariant — cum_before is a pure prefix
+    sum in (_h, doc_id) order whatever the block count, which is why
+    the oracle needs no knowledge of the blocking. Uniform weights come
     from an in-plan countDistinct (one tiny broadcast row), not a
     driver-side action."""
+    block_docs = int(block_docs or PACK_BLOCK)
     docs = documents.select(
         "doc_id", "source", _tokens_expr().cast("long").alias("n_tokens"),
         text_hash_expr(F.col("doc_id").cast("string")).alias("_h"))
-    docs = docs.withColumn("_blk", F.substring("_h", 1, 2))
+    nblk = F.greatest(F.ceil(F.col("_n") / F.lit(block_docs)),
+                      F.lit(1)).cast("double")
+    plen = F.least(F.ceil(F.log(16.0, nblk)).cast("int"), F.lit(32))
+    srcs = (docs.groupBy("source").agg(F.count("*").alias("_n"))
+            .select("source", plen.alias("_plen")))
+    docs = (docs.join(F.broadcast(srcs), "source")
+            .withColumn("_blk",
+                        F.col("_h").substr(F.lit(1), F.col("_plen")))
+            .drop("_plen"))
     w_in = (Window.partitionBy("source", "_blk").orderBy("_h", "doc_id")
             .rowsBetween(Window.unboundedPreceding, -1))
     docs = docs.withColumn(
@@ -653,7 +673,8 @@ def corpus_mix(documents: DataFrame, budget_tokens: float,
                       (cum < budget).alias("selected"))
 
 
-def boilerplate_scrub(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+def boilerplate_scrub(documents: DataFrame, min_docs: int = 2,
+                      salt_mod: int = 16) -> DataFrame:
     """(doc_id, n_lines, n_removed, clean_sha) — corpus-level boilerplate
     line removal (the C4/RefinedWeb cleanup pass): a non-blank line whose
     exact text appears in >= min_docs DISTINCT documents is boilerplate
@@ -668,7 +689,18 @@ def boilerplate_scrub(documents: DataFrame, min_docs: int = 2) -> DataFrame:
     rebuild. No broadcast of the boilerplate set (it grows with the
     corpus) and no skew surface beyond document length; a hot line
     ("Privacy Policy" x 10^9 docs) is ONE group in the count agg, not a
-    join fan-out, because the join carries only the per-line verdict."""
+    join fan-out, because the join carries only the per-line verdict.
+
+    The verdict join-back is SALTED (VERDICT r05 #3 watch item, made
+    engine-owned): the verdict side is 1 row/key, so a planet-hot line
+    would otherwise funnel its 10^9 probe rows through one shuffle
+    partition unless AQE's skew-split happens to be on. Each verdict row
+    is replicated salt_mod x (tiny build side x 16), probe rows pick
+    pmod(hash(doc_id, pos), salt_mod) — the hot key spreads over
+    salt_mod partitions in ANY session config. Each line still matches
+    exactly one replica, so the output is salt-invariant (test-gated
+    salted == unsalted)."""
+    salt_mod = max(1, int(salt_mod))
     lines = (documents
              .select("doc_id", F.posexplode(F.split(F.col("text"), "\n"))
                      .alias("pos", "line")))
@@ -679,9 +711,17 @@ def boilerplate_scrub(documents: DataFrame, min_docs: int = 2) -> DataFrame:
               .agg(F.count_distinct("doc_id").alias("nd"))
               .where(F.col("nd") >= min_docs)
               .select("k"))
+    boiler_s = (boiler
+                .withColumn("_ksalt",
+                            F.explode(F.sequence(F.lit(0),
+                                                 F.lit(salt_mod - 1))))
+                .withColumn("_boiler", F.lit(True)))
+    lsalt = F.pmod(F.hash("doc_id", "pos"), F.lit(salt_mod))
     marked = (lines
-              .join(boiler.withColumn("_boiler", F.lit(True)),
-                    key == F.col("k"), "left")
+              .withColumn("_lsalt", lsalt)
+              .join(boiler_s,
+                    (key == F.col("k")) & (F.col("_lsalt") == F.col("_ksalt")),
+                    "left")
               .select("doc_id", "pos", "line",
                       F.coalesce(F.col("_boiler"), F.lit(False))
                       .alias("_boiler")))
@@ -757,26 +797,60 @@ def length_quantiles(documents: DataFrame) -> DataFrame:
     document length per language: the length-distribution audit a corpus
     build runs before picking truncation/packing parameters.
 
-    Spark's `percentile` (exact, continuous interpolation at rank
-    p·(n−1) — the same definition as DuckDB's quantile_cont, which is
-    the oracle) over a (lang) groupBy. Values round to 1e-6 before the
-    hash compare; interpolation arithmetic is identical IEEE doubles on
-    both engines, so the round is belt-and-braces, not a fudge.
+    HISTOGRAM-EXACT (VERDICT r05 #2): lengths are small ints, so the
+    value multiset per language is losslessly a (value, count) histogram
+    of <= distinct-lengths rows (~10^5/lang however big the corpus).
+    groupBy(lang, n_chars).count() — one map-side-combined shuffle —
+    then a cumulative-count window over each language's histogram gives
+    every value's 0-indexed rank span [cum-cnt, cum-1]; the continuous
+    interpolation at rank h = p*(n-1) (Spark `percentile` == DuckDB
+    `quantile_cont`, which remains the oracle) reads the values covering
+    floor(h) and ceil(h) via conditional min aggregates and blends with
+    the fractional part. Identical IEEE doubles to the direct form, so
+    the 1e-6 round stays belt-and-braces; bounded state everywhere — no
+    per-group value-multiset agg buffer, the thing that OOMs an exact
+    `percentile` on a 10^11-doc language at 100 TB.
 
-    100 TB posture: exact percentile materializes each group's value
-    multiset in the agg buffer — fine per-language (languages are few;
-    the buffer is per-GROUP, distributed over executors), and honest
-    about the cost; at petabyte-per-group scale the drop-in is
-    approx_percentile (t-digest, same call shape), traded consciously
-    because its outputs are engine-specific and un-oracle-able."""
-    pct = F.percentile(F.col("n_chars").cast("double"),
-                       F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
-    return (documents.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"), pct.alias("_p"))
-            .select("lang", "n_docs",
-                    F.round(F.col("_p")[0], 6).alias("p50"),
-                    F.round(F.col("_p")[1], 6).alias("p90"),
-                    F.round(F.col("_p")[2], 6).alias("p99")))
+    NULL handling matches `percentile`/`quantile_cont`: null lengths
+    count toward n_docs, never toward ranks (they sort first and get a
+    non-positive non-null cum, so the cover predicate can't select
+    them; an all-null language yields null percentiles)."""
+    hist = (documents
+            .groupBy("lang", F.col("n_chars").cast("double").alias("_v"))
+            .agg(F.count("*").alias("_cnt")))
+    w_cum = (Window.partitionBy("lang").orderBy(F.asc_nulls_first("_v"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("lang")
+    n_null = F.sum(F.when(F.col("_v").isNull(), F.col("_cnt"))
+                   .otherwise(F.lit(0))).over(w_all)
+    hist = (hist
+            .withColumn("_cum", F.sum("_cnt").over(w_cum) - n_null)
+            .withColumn("_nd", F.sum("_cnt").over(w_all))
+            .withColumn("_nv", F.col("_nd") - n_null))
+    ps = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    for name, p in ps:
+        hist = hist.withColumn(
+            "_h" + name,
+            (F.lit(p) * (F.col("_nv") - 1).cast("double")))
+
+    def _at(k):
+        covers = (((F.col("_cum") - F.col("_cnt")) <= k)
+                  & (F.col("_cum") > k))
+        return F.min(F.when(covers, F.col("_v")))
+
+    aggs = [F.max("_nd").alias("n_docs")]
+    for name, _ in ps:
+        h = F.col("_h" + name)
+        aggs += [_at(F.floor(h)).alias("_lo" + name),
+                 _at(F.ceil(h)).alias("_hi" + name),
+                 F.min(h).alias("_hv" + name)]
+    out = hist.groupBy("lang").agg(*aggs)
+    frac = {n: F.col("_hv" + n) - F.floor(F.col("_hv" + n)) for n, _ in ps}
+    return out.select(
+        "lang", "n_docs",
+        *[F.round(F.col("_lo" + n)
+                  + frac[n] * (F.col("_hi" + n) - F.col("_lo" + n)),
+                  6).alias(n) for n, _ in ps])
 
 
 def top_terms(documents: DataFrame, k: int = 10,
