@@ -379,11 +379,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "fixtures", "data",
             "ivf_" + os.path.basename(sf_dir.rstrip("/")))
+        # r6: hot_lists rides the same persisted manifest (zero-job
+        # load) — salting is output-invariant, so the oracle is untouched
+        cents = similarity.ivf_index(emb, idx_dir, _IVF_N_LISTS, _IVF_ITERS)
         return similarity.ann_topk_ivf(
             emb, k=5, probe_mod=50,
             n_lists=_IVF_N_LISTS, n_probe=_IVF_N_PROBE,
-            centroids=similarity.ivf_index(emb, idx_dir, _IVF_N_LISTS,
-                                           _IVF_ITERS))
+            centroids=cents, hot_lists=similarity.ivf_hot_lists(idx_dir))
 
     def ann_topk_lsh_multi(spark, sf_dir):
         # bits sizes bucket occupancy (≈ n/2^bits per table): 12 bits at

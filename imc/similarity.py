@@ -306,20 +306,67 @@ def ivf_index(embeddings: DataFrame, index_dir: str, n_lists: int = 16,
     mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
     cent = train_ivf_centroids(mat, n_lists, iters)
     out = [[float(x) for x in row] for row in cent]
+    hot = _hot_lists_from_sample(mat, cent)
     if fp is not None:
         _os.makedirs(index_dir, exist_ok=True)
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"fingerprint": fp, "n_lists": n_lists,
                        "iters": iters, "sample_n": sample_n,
-                       "n_sampled": len(rows), "centroids": out}, f)
+                       "n_sampled": len(rows), "centroids": out,
+                       "hot_lists": hot}, f)
         _os.replace(tmp, mp)
     return out
 
 
+# a Voronoi list is HOT when it holds more than this multiple of the
+# mean list population — the eps_join hot-cell heuristic, re-used
+IVF_HOT_FACTOR = 4.0
+
+
+def _hot_lists_from_sample(mat: "np.ndarray", cent: "np.ndarray",
+                           factor: float = IVF_HOT_FACTOR) -> list[int]:
+    """Hot-list ids from the (already driver-side) training sample —
+    zero extra Spark jobs, the manifest-style heat detection VERDICT
+    r05 #5 asked for (hot_cell_keys' pattern applied to IVF). Uses the
+    SAME assignment rule ann_topk_ivf ranks with — round(cos, 6) desc,
+    lowest list id on ties — and the same hot test _hot_cells uses
+    (count > factor x mean). Heat is perf-only: salting replicates,
+    never drops, so a stale/missing list can't change results."""
+    if len(mat) == 0 or len(cent) == 0:
+        return []
+    vn = mat / np.maximum(
+        np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-300)
+    cn = cent / np.maximum(
+        np.sqrt((cent * cent).sum(axis=1, keepdims=True)), 1e-300)
+    sims = np.round(np.stack([np.sum(vn * cn[j], axis=1)
+                              for j in range(len(cent))], axis=1), 6)
+    counts = np.bincount(sims.argmax(axis=1), minlength=len(cent))
+    return sorted(int(i) for i in
+                  np.nonzero(counts > factor * counts.mean())[0])
+
+
+def ivf_hot_lists(index_dir: str) -> list[int]:
+    """Load the persisted hot-list ids for a trained IVF index — ZERO
+    Spark jobs (driver-side JSON read), the manifest-fed path a repeat
+    query takes, exactly like eps_join(hot_cells=manifest keys). An
+    absent manifest or a pre-r6 manifest without the key returns [] —
+    unsalted, still correct (heat is perf-only)."""
+    import json
+    import os as _os
+    mp = _os.path.join(index_dir, IVF_MANIFEST)
+    try:
+        with open(mp) as f:
+            return [int(x) for x in json.load(f).get("hot_lists", [])]
+    except (OSError, json.JSONDecodeError):
+        return []
+
+
 def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
                  n_lists: int = 16, n_probe: int = 4,
-                 centroids: list | None = None) -> DataFrame:
+                 centroids: list | None = None,
+                 hot_lists: list | None = None,
+                 salt_mod: int = 8) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the OTHER scale
     path next to multi-table LSH: a coarse quantizer partitions vectors
     into n_lists Voronoi lists; probes search only their n_probe nearest
@@ -336,10 +383,18 @@ def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
 
     100 TB posture: seeds are a tiny broadcast; assignment is one
     map-side pass (no shuffle); the candidate join shuffles by list_id —
-    the IVF point: per-probe work is n_probe/n_lists of the corpus, and
-    a hot list salts exactly like a hot ε-join cell if needed. Training
-    runs once on a bounded driver-side sample — FAISS-style — and is
-    reused across queries."""
+    the IVF point: per-probe work is n_probe/n_lists of the corpus.
+    A HOT list (clustered corpus: one Voronoi cell holding most
+    vectors) salts exactly like a hot ε-join cell — pass
+    hot_lists=ivf_hot_lists(index_dir) (detected at train time from
+    the sample, persisted in the index manifest, zero detection jobs
+    at query time): hot-list member rows spread over salt_mod shuffle
+    partitions via pmod(hash(neighbor_id), salt_mod) while probe rows
+    to hot lists fan out salt_mod x (probes are ~n_probe/probe_mod of
+    the corpus — the cheap side). Each member row keeps exactly one
+    salt, so the candidate set — and the output — is salt-invariant
+    (test-gated salted == unsalted). Training runs once on a bounded
+    driver-side sample — FAISS-style — and is reused across queries."""
     if centroids is not None:
         seeds = embeddings.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -363,7 +418,24 @@ def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
                       & (F.col("lrank") <= n_probe))
               .select(F.col("vec_id").alias("query_id"),
                       F.col("embedding").alias("q_emb"), "list_id"))
-    cand = (probes.join(lists, "list_id")
+    if hot_lists:
+        hot = F.array(*[F.lit(int(h)).cast("long")
+                        for h in sorted(set(hot_lists))])
+        is_hot = F.array_contains(hot, F.col("list_id").cast("long"))
+        lists = lists.withColumn(
+            "_salt",
+            F.when(is_hot, F.pmod(F.hash("neighbor_id"),
+                                  F.lit(salt_mod)))
+            .otherwise(F.lit(0)).cast("int"))
+        probes = probes.withColumn(
+            "_salt",
+            F.explode(F.when(is_hot,
+                             F.sequence(F.lit(0), F.lit(salt_mod - 1)))
+                      .otherwise(F.array(F.lit(0)))).cast("int"))
+        cand = probes.join(lists, ["list_id", "_salt"])
+    else:
+        cand = probes.join(lists, "list_id")
+    cand = (cand
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", "q_emb", "b_emb")
             .dropDuplicates(["query_id", "neighbor_id"]))
