@@ -133,6 +133,13 @@ def run_suite(spark, sf_dir: str, pages_path: str, pages_sf: float):
     # late-r5 heavy-hitter op: token explode → partial-agg shuffle →
     # sharded two-phase top-k (the vocabulary-audit workload)
     timed("text_top_terms", lambda: textops.top_terms(docs).count())
+    # r6: the three round-6-reshaped ops get baseline rows of their own —
+    # adaptive-block corpus mixing (per-source prefix sum), histogram-exact
+    # per-language length quantiles, salted cross-doc boilerplate removal
+    timed("text_mix", lambda: textops.corpus_mix(docs, 1e6).count())
+    timed("text_quantiles", lambda: textops.length_quantiles(docs).count())
+    timed("text_boilerplate",
+          lambda: textops.boilerplate_scrub(docs).count())
     timed("ann_topk", lambda: similarity.ann_topk_bruteforce(emb, 5, 50).count())
     timed("ann_lsh_multi",
           lambda: similarity.ann_topk_lsh_multi(emb, 5, 50).count())
