@@ -26,6 +26,8 @@ SF = os.environ.get("IMC_HEADLINE_SF", "2.0")
 # (VERDICT r03 #6) — salting + AQE must hold efficiency near the base row
 HOT = os.environ.get("IMC_HEADLINE_HOT", "") == "1"
 N_LO = int(os.environ.get("IMC_SCALING_N", "4"))
+# best-of-REPS per level; raise on noisy boxes
+REPS = int(os.environ.get("IMC_HEADLINE_REPS", "2"))
 N_HI = 4 * N_LO
 
 WORKER = r"""
@@ -52,7 +54,7 @@ n_venues = max(1, gen_pages.n_pages_for_sf(float(%(sf)r)) // gen_pages.PAGES_PER
 tiles = gen_pages.all_tiles(n_venues)
 joins.eps_join(segs.limit(3000), params).count()  # warm python workers
 best = None
-for rep in range(2):
+for rep in range(int(%(reps)r)):
     t0 = time.perf_counter()
     n_eps = joins.eps_join(segs, params).count()
     n_tile = joins.tile_assignments(segs, tiles).count()
@@ -63,7 +65,7 @@ print(json.dumps({"cpus": cpus, "sec": round(best[0], 2),
                   "rows": best[1] + best[2],
                   "n_eps": best[1], "n_tile": best[2]}))
 s.stop()
-""" % {"repo": REPO, "sf": SF}
+""" % {"repo": REPO, "sf": SF, "reps": REPS}
 
 
 def main():
@@ -110,7 +112,7 @@ def main():
         if HOT else
         [f"ε-join + tile assignment alone on a 4× corpus (pages sf{SF}: "
          f"{lo['n_eps']} join rows + {lo['n_tile']} tile rows), cached input,",
-         "warm Python workers, best-of-2 — the regime a 100 TB stage runs in",
+         f"warm Python workers, best-of-{REPS} — the regime a 100 TB stage runs in",
          "(minutes-to-hours of compute; per-job fixed latency is noise):"])
     lines = [
         "",

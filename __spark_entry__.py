@@ -337,6 +337,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textops.corpus_mix(_tbl(spark, sf_dir, "documents"),
                                   budget_tokens=10_000)
 
+    def text_dup_spans(spark, sf_dir):
+        # cross-doc exact duplicate substring spans (r6): positional
+        # word-8-gram shingle dedup, maximal merged spans
+        return textops.substring_dup_spans(_tbl(spark, sf_dir,
+                                                "documents"))
+
+    def text_scrub_substr(spark, sf_dir):
+        # exact-substring dedup APPLIED (r6): keep-first keeper rule,
+        # covered non-keeper tokens cut, doc rebuilt + fingerprinted
+        return textops.substring_scrub(_tbl(spark, sf_dir, "documents"))
+
     def dedup_embcos_clusters(spark, sf_dir):
         # vector twin of dedup_clusters (same τ/bits as embcos pairs)
         return similarity.embedding_dup_clusters(
@@ -409,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              text_decontaminate=text_decontaminate, text_pack=text_pack,
              text_pii=text_pii, text_repetition=text_repetition,
              text_boilerplate=text_boilerplate, text_mix=text_mix,
+             text_dup_spans=text_dup_spans,
+             text_scrub_substr=text_scrub_substr,
              dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
@@ -1700,6 +1713,79 @@ def oracle_sql() -> dict[str, str]:
                                   chr(10) ORDER BY pos), ''))
                      AS clean_sha
             FROM m GROUP BY doc_id
+        """,
+        "text_dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(w[i:i+7], ' ')) AS h
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(w) - 7, 0)))
+                     AS t(i)),
+            dup AS (
+              SELECT h FROM sh GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT doc_id, pos FROM sh
+              WHERE h IN (SELECT h FROM dup)),
+            brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) + 8
+                          THEN 1 ELSE 0 END AS b
+              FROM hits),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS gid
+              FROM brk)
+            SELECT doc_id, min(pos)::BIGINT AS span_start,
+                   (max(pos) + 7)::BIGINT AS span_end,
+                   count(*)::BIGINT AS n_shingles
+            FROM grp GROUP BY doc_id, gid
+        """,
+        "text_scrub_substr": r"""
+            WITH toks0 AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(w[i:i+7], ' ')) AS h
+              FROM toks0,
+                   unnest(generate_series(1, greatest(len(w) - 7, 0)))
+                     AS t(i)),
+            dup AS (
+              SELECT h FROM sh GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+            occ AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM sh WHERE h IN (SELECT h FROM dup)),
+            cov AS (
+              SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7))
+                       AS pos
+              FROM occ WHERE rn > 1),
+            toks AS (
+              SELECT doc_id, i AS pos, w[i] AS tok
+              FROM toks0, unnest(generate_series(1, len(w))) AS t(i)),
+            marked AS (
+              SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS cut
+              FROM toks t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.pos = c.pos)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT
+                     AS n_removed,
+                   md5(coalesce(
+                       string_agg(CASE WHEN NOT cut THEN tok END, ' '
+                                  ORDER BY pos), ''))
+                     AS clean_sha
+            FROM marked GROUP BY doc_id
         """,
         "text_mix": r"""
             WITH t AS (

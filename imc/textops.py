@@ -737,6 +737,142 @@ def boilerplate_scrub(documents: DataFrame, min_docs: int = 2,
 
 
 # PII patterns pinned to the RE2 ∩ Java-regex common dialect so the
+def substring_dup_spans(documents: DataFrame, k: int = 8,
+                        min_docs: int = 2, salt_mod: int = 16) -> DataFrame:
+    """(doc_id, span_start, span_end, n_shingles) — cross-document EXACT
+    duplicate substring SPANS, the positional form of exact-substring
+    dedup (the pass "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, runs with a suffix array; the distributed
+    equivalent is shingle-hash counting): every maximal token span
+    covered by word-k-gram shingles whose exact text appears in >=
+    min_docs DISTINCT documents. span_start/span_end are 1-indexed
+    word positions (inclusive, over the shared trim/lower/whitespace
+    tokenization); consumers cut or down-weight these regions rather
+    than dropping whole documents — the reason this exists next to the
+    doc-level dedup ladder. Docs with no duplicated shingle emit no row.
+
+    Span rule: shingle at position p covers tokens [p, p+k-1]; spans
+    are maximal unions of overlapping-or-adjacent covered regions
+    (break when next_pos > prev_pos + k), n_shingles counts the
+    duplicated shingle positions merged into the span.
+
+    100 TB shape, stage by stage: positions + hashes are one explode +
+    codegen md5 projection (the inherent ~1-row-per-token cost, same as
+    minhash); the duplicate verdict is a (h, doc_id)-then-h two-phase
+    hash agg, map-side combined, never a collected set; the verdict
+    join-back is SALTED exactly like boilerplate_scrub's (verdict rows
+    replicated salt_mod x, probes pick pmod(hash(doc_id, pos)) — a
+    planet-hot shingle spreads over salt_mod partitions in any session
+    config, and each probe matches exactly one replica so output is
+    salt-invariant); island merging is two doc-keyed windows over only
+    the HIT rows (bounded by doc length, one shuffle)."""
+    salt_mod = max(1, int(salt_mod))
+    sh = (documents
+          .select("doc_id",
+                  F.posexplode(_ngrams(F.col("text"), k)).alias("pos0", "s"))
+          .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                  text_hash_expr("s").alias("h")))
+    dup = (sh.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= min_docs)
+           .select(F.col("h").alias("hk"))
+           .withColumn("_ksalt",
+                       F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)))))
+    hits = (sh.withColumn("_lsalt",
+                          F.pmod(F.hash("doc_id", "pos"), F.lit(salt_mod)))
+            .join(dup,
+                  (F.col("h") == F.col("hk"))
+                  & (F.col("_lsalt") == F.col("_ksalt")),
+                  "left_semi")
+            .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (hits
+           .withColumn("_brk",
+                       F.when(F.col("pos") > F.lag("pos").over(w) + k,
+                              F.lit(1)).otherwise(F.lit(0)))
+           .withColumn("_gid", F.sum("_brk").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "_gid")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + F.lit(k - 1)).cast("long")
+                 .alias("span_end"),
+                 F.count("*").cast("long").alias("n_shingles"))
+            .select("doc_id", "span_start", "span_end", "n_shingles"))
+
+
+def substring_scrub(documents: DataFrame, k: int = 8,
+                    min_docs: int = 2, salt_mod: int = 16) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_sha) — exact-substring dedup
+    APPLIED with Lee et al. 2022's keep-first rule: for every word-k-gram
+    shingle whose exact text appears in >= min_docs distinct documents,
+    the occurrence with the smallest (doc_id, pos) is the KEEPER; every
+    other occurrence's covered tokens [pos, pos+k-1] are cut, and the
+    document is rebuilt from the surviving tokens (space-joined over the
+    shared trim/lower/whitespace tokenization — this operator lives on
+    the normalized token stream, like the spans form above). Removal is
+    the covered-token UNION of non-keeper duplicated occurrences: a
+    keeper occurrence's tokens can still be cut when a DIFFERENT
+    overlapping duplicate covers them — the deterministic set semantic,
+    not a sequential left-to-right scan. Every input document gets a
+    row; a fully-covered document rebuilds to the empty string.
+
+    100 TB shape: occurrence extraction is the same one explode + md5
+    projection as substring_dup_spans; the keeper verdict is one hash
+    agg (min over a (doc_id, pos) struct rides the same two-phase
+    combine as the countDistinct); the verdict join-back is SALTED
+    (hot-shingle spread, salt-invariant output); cover fan-out is <= k
+    rows per removed occurrence, deduped by (doc_id, pos); the rebuild
+    is the boilerplate_scrub idiom — a (doc_id, pos)-keyed flag join
+    (composite-unique keys, no skew surface) and one doc-bounded
+    collect/sort/join aggregate."""
+    salt_mod = max(1, int(salt_mod))
+    sh = (documents
+          .select("doc_id",
+                  F.posexplode(_ngrams(F.col("text"), k)).alias("pos0", "s"))
+          .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                  text_hash_expr("s").alias("h")))
+    dup = (sh.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"),
+                F.min(F.struct("doc_id", "pos")).alias("kp"))
+           .where(F.col("nd") >= min_docs)
+           .select(F.col("h").alias("hk"),
+                   F.col("kp.doc_id").alias("k_doc"),
+                   F.col("kp.pos").alias("k_pos"))
+           .withColumn("_ksalt",
+                       F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)))))
+    rem = (sh.withColumn("_lsalt",
+                         F.pmod(F.hash("doc_id", "pos"), F.lit(salt_mod)))
+           .join(dup,
+                 (F.col("h") == F.col("hk"))
+                 & (F.col("_lsalt") == F.col("_ksalt")),
+                 "inner")
+           .where(~((F.col("doc_id") == F.col("k_doc"))
+                    & (F.col("pos") == F.col("k_pos"))))
+           .select("doc_id", "pos"))
+    cov = (rem.select("doc_id",
+                      F.explode(F.sequence(F.col("pos"),
+                                           F.col("pos") + F.lit(k - 1)))
+                      .alias("pos"))
+           .dropDuplicates(["doc_id", "pos"])
+           .withColumn("_cut", F.lit(True)))
+    toks = (documents
+            .select("doc_id",
+                    F.posexplode(_words(F.col("text"))).alias("p0", "tok"))
+            .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok"))
+    marked = (toks.join(cov, ["doc_id", "pos"], "left")
+              .select("doc_id", "pos", "tok",
+                      F.coalesce(F.col("_cut"), F.lit(False)).alias("_cut")))
+    kept = F.array_sort(F.collect_list(
+        F.when(~F.col("_cut"), F.struct("pos", "tok"))))
+    return (marked
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.col("_cut").cast("long")).alias("n_removed"),
+                 text_hash_expr(
+                     F.array_join(F.transform(kept, lambda s: s["tok"]),
+                                  " ")).alias("clean_sha")))
+
+
 # Spark expression and the DuckDB oracle compile the same automaton:
 # character classes, \d, \b, bounded repetition only — no lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -864,3 +864,93 @@ def test_top_terms_exact_and_shard_invariant(spark):
     got2 = (textops.top_terms(docs, k=3, shards=1).toPandas()
             .sort_values("rk").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_substring_dup_spans_hand_fixture_salted_and_plan_gated(spark):
+    """r6 operator: cross-doc exact duplicate substring spans.
+
+    Hand-computed: docs 0/1 share a 10-word prefix -> dup word-8-gram
+    shingles at pos 1..3 -> ONE maximal span [1, 10] with 3 shingles;
+    docs 3/4 share two DISJOINT 8-word regions (positions 1-8 and
+    12-19) separated by differing filler -> TWO spans, break because
+    12 > 1 + 8; doc 2 is fully unique -> no row. Salting is output-
+    invariant, and in the non-broadcast regime the verdict join-back is
+    keyed by the salt columns (engine-owned hot-shingle spread)."""
+    import re
+    shared10 = "a b c d e f g h i j"
+    s1 = "p q r s t u v w"
+    s2 = "k l m n o aa bb cc"
+    rows = [
+        (0, f"{shared10} unique0 x0 y0", "en", "s", 0),
+        (1, f"{shared10} unique1 z1 w1", "en", "s", 0),
+        (2, "totally distinct words nothing repeats here at all "
+            "ever once more", "en", "s", 0),
+        (3, f"{s1} u3a u3b u3c {s2}", "en", "s", 0),
+        (4, f"{s1} u4a u4b u4c {s2}", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    got = (textops.substring_dup_spans(docs, k=8, min_docs=2)
+           .toPandas().sort_values(["doc_id", "span_start"])
+           .reset_index(drop=True))
+    want = pd.DataFrame(
+        [(0, 1, 10, 3), (1, 1, 10, 3),
+         (3, 1, 8, 1), (3, 12, 19, 1),
+         (4, 1, 8, 1), (4, 12, 19, 1)],
+        columns=["doc_id", "span_start", "span_end", "n_shingles"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    plain = (textops.substring_dup_spans(docs, k=8, min_docs=2, salt_mod=1)
+             .toPandas().sort_values(["doc_id", "span_start"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, plain, check_dtype=False)
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (textops.substring_dup_spans(docs, k=8, min_docs=2)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    joins = re.findall(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    joins += re.findall(r"ShuffledHashJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert any("_lsalt" in a and "_ksalt" in b for a, b in joins), plan[:3000]
+
+
+def test_substring_scrub_keep_first_hand_fixture(spark):
+    """r6 apply-form: Lee et al. keep-first exact-substring dedup. Same
+    fixture as the spans test: the keeper of every duplicated shingle is
+    its min-(doc_id, pos) occurrence, so docs 0 and 3 keep their text
+    verbatim while docs 1 and 4 lose the shared regions; doc 2 is
+    untouched. clean_sha values are hand-computed md5s of the surviving
+    space-joined tokens; salting is output-invariant."""
+    import hashlib
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    shared10 = "a b c d e f g h i j"
+    s1 = "p q r s t u v w"
+    s2 = "k l m n o aa bb cc"
+    texts = {
+        0: f"{shared10} unique0 x0 y0",
+        1: f"{shared10} unique1 z1 w1",
+        2: "totally distinct words nothing repeats here at all ever "
+           "once more",
+        3: f"{s1} u3a u3b u3c {s2}",
+        4: f"{s1} u4a u4b u4c {s2}",
+    }
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, t, "en", "s", 0) for i, t in texts.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    got = (textops.substring_scrub(docs, k=8, min_docs=2)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    want = pd.DataFrame(
+        [(0, 13, 0, md5(texts[0])),
+         (1, 13, 10, md5("unique1 z1 w1")),
+         (2, 11, 0, md5(texts[2])),
+         (3, 19, 0, md5(texts[3])),
+         (4, 19, 16, md5("u4a u4b u4c"))],
+        columns=["doc_id", "n_tokens", "n_removed", "clean_sha"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    plain = (textops.substring_scrub(docs, k=8, min_docs=2, salt_mod=1)
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, plain, check_dtype=False)
