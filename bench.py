@@ -140,10 +140,18 @@ def run_suite(spark, sf_dir: str, pages_path: str, pages_sf: float):
     timed("text_quantiles", lambda: textops.length_quantiles(docs).count())
     timed("text_boilerplate",
           lambda: textops.boilerplate_scrub(docs).count())
+    # r6: exact-substring dedup pair — positional spans and the
+    # keep-first scrub (explode-heavy: ~1 row/token, the inherent cost)
+    timed("text_dup_spans",
+          lambda: textops.substring_dup_spans(docs).count())
+    timed("text_scrub_substr",
+          lambda: textops.substring_scrub(docs).count())
     timed("ann_topk", lambda: similarity.ann_topk_bruteforce(emb, 5, 50).count())
     timed("ann_lsh_multi",
           lambda: similarity.ann_topk_lsh_multi(emb, 5, 50).count())
     timed("ann_ivf", lambda: similarity.ann_topk_ivf(emb, 5, 50).count())
+    # r6: PQ/ADC with exact refine — the byte-compressed scan leg
+    timed("ann_pq", lambda: similarity.ann_topk_pq(emb, 5, 50).count())
 
     points.unpersist()
     return timings, counts
