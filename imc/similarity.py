@@ -364,17 +364,21 @@ def ivf_hot_lists(index_dir: str) -> list[int]:
 
 def _ranked_lists_expr(centroids: list):
     """Sorted (nc=-round(cos,6), list_id) struct array scoring `embedding`
-    against every centroid literal — the ONE shuffle-free assignment
-    expression ann_topk_ivf and ivf_hot_lists_refresh share (ascending
-    struct order == cosine DESC, lowest list id on ties — the pinned
-    cross-engine assignment rule)."""
-    return F.array_sort(F.array(*[
-        F.struct(
-            (-F.round(_cos_expr(F.col("embedding"),
-                                F.array(*[F.lit(float(x)) for x in c])),
-                      6)).alias("nc"),
-            F.lit(i).cast("long").alias("list_id"))
-        for i, c in enumerate(centroids)]))
+    against every centroid — the ONE shuffle-free assignment expression
+    ann_topk_ivf and ivf_hot_lists_refresh share (ascending struct order
+    == cosine DESC, lowest list id on ties — the pinned cross-engine
+    assignment rule). The centroid table enters the plan as a SINGLE
+    nested-array literal walked by transform's (element, index) lambda,
+    not n_lists × d scattered literal nodes — Catalyst analysis over
+    the exploded form cost whole seconds of fixed per-query planning
+    (the r6 bench regression: ann_ivf 1.8 → 5.0 s at sf0.1); the
+    arithmetic and its order are identical."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    return F.array_sort(F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (-F.round(_cos_expr(F.col("embedding"), c), 6)).alias("nc"),
+            i.cast("long").alias("list_id"))))
 
 
 def ivf_hot_lists_refresh(embeddings: DataFrame, index_dir: str,
@@ -678,35 +682,53 @@ def ann_topk_pq(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
     k_pq = len(codebooks[0])
     ds = len(codebooks[0][0])
 
-    def _dot_lit(sub, cent):
-        # Σ_t sub[t]·w_t against a literal centroid, fixed order
-        return F.aggregate(
-            F.zip_with(sub, F.array(*[F.lit(float(w)) for w in cent]),
-                       lambda p, q: p * q),
-            F.lit(0.0), lambda a, b: a + b)
+    def _dot(sub, cent):
+        # Σ_t sub[t]·w_t, fixed left-to-right order
+        return F.aggregate(F.zip_with(sub, cent, lambda p, q: p * q),
+                           F.lit(0.0), lambda a, b: a + b)
+
+    # each subspace's codebook (and its precomputed ‖c‖²/2 vector)
+    # enters the plan as ONE nested-array literal walked by transform —
+    # not k_pq × ds scattered literal nodes, whose Catalyst analysis
+    # cost dominated the query at bench scale (same fix as
+    # _ranked_lists_expr); identical arithmetic in identical order
+    books_lit = [F.lit([[float(w) for w in c] for c in book])
+                 for book in codebooks]
+    hns_lit = [F.lit([sum(float(w) * float(w) for w in c) / 2.0
+                      for c in book])
+               for book in codebooks]
+
+    # factory helpers, NOT default-arg lambdas: pyspark dispatches on
+    # lambda arity, so `lambda c, sub=sub:` would be misread as an
+    # (element, index) lambda
+    def _cands_for(sub, book_lit, hn_lit):
+        return F.transform(
+            book_lit,
+            lambda c, i: F.struct(
+                (-F.round(_dot(sub, c) - F.element_at(hn_lit, i + 1), 6))
+                .alias("ns"),
+                i.alias("c")))
+
+    def _lut_for(qsub, book_lit):
+        return F.transform(book_lit,
+                           lambda c: F.round(_dot(qsub, c), 6))
 
     nb = _norm_expr(F.col("embedding"))
     base = embeddings.select("vec_id", nb.alias("_nb"))
-    for j, book in enumerate(codebooks):
+    for j in range(m):
         sub = F.slice(F.col("_nb"), j * ds + 1, ds)
-        cands = F.array(*[
-            F.struct(
-                (-F.round(_dot_lit(sub, c)
-                          - F.lit(sum(w * w for w in c) / 2.0), 6))
-                .alias("ns"),
-                F.lit(ci).alias("c"))
-            for ci, c in enumerate(book)])
-        base = base.withColumn(f"_code_{j}", F.array_min(cands)["c"])
+        base = base.withColumn(
+            f"_code_{j}",
+            F.array_min(_cands_for(sub, books_lit[j], hns_lit[j]))["c"])
     base = base.drop("_nb")
 
     probes = (embeddings.filter(F.col("vec_id") % probe_mod == 0)
               .select(F.col("vec_id").alias("query_id"),
                       _norm_expr(F.col("embedding")).alias("_qn")))
-    for j, book in enumerate(codebooks):
+    for j in range(m):
         qsub = F.slice(F.col("_qn"), j * ds + 1, ds)
-        probes = probes.withColumn(
-            f"_lut_{j}",
-            F.array(*[F.round(_dot_lit(qsub, c), 6) for c in book]))
+        probes = probes.withColumn(f"_lut_{j}",
+                                   _lut_for(qsub, books_lit[j]))
     probes = probes.drop("_qn")
 
     adc = F.round(
