@@ -765,7 +765,15 @@ def substring_dup_spans(documents: DataFrame, k: int = 8,
     planet-hot shingle spreads over salt_mod partitions in any session
     config, and each probe matches exactly one replica so output is
     salt-invariant); island merging is two doc-keyed windows over only
-    the HIT rows (bounded by doc length, one shuffle)."""
+    the HIT rows (bounded by doc length, one shuffle).
+
+    The shingle explode is COMPUTED TWICE (verdict branch + probe
+    branch) by design: materializing it once would mean shuffling or
+    caching the exploded rows (~1 row/token, the corpus's biggest
+    intermediate), while recomputing is two map-side scans of the
+    original documents — at 100 TB the re-scan wins decisively; the
+    bench row's sf0.1 cost (~2x the single-pass time) is that choice
+    priced honestly. substring_scrub makes the same call."""
     salt_mod = max(1, int(salt_mod))
     sh = (documents
           .select("doc_id",
