@@ -619,7 +619,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              rel_hourly=rel_hourly,
              rel_props_json=rel_props_json,
              rel_region_revenue=rel_region_revenue)
-    return q
+    # the registry holds more entries than the driver's 50-row snapshot
+    # cap, and dict order is its iteration order — so entries that have
+    # NEVER had a driver correctness row (VERDICT r06 #6: rel_hourly and
+    # rel_props_json, registered post-cap in r5/r6) enumerate FIRST.
+    # Pure reordering: same names, same callables, same oracle SQL.
+    _never_sampled = ["rel_hourly", "rel_props_json"]
+    return {**{n: q[n] for n in _never_sampled},
+            **{n: f for n, f in q.items() if n not in _never_sampled}}
 
 
 # --------------------------------------------------------------- oracles

@@ -62,18 +62,35 @@ def _harvest_metrics(q, extra: dict | None = None) -> dict:
         batches += 1
         rows_in += int(p.get("numInputRows") or 0)
         om = (p.get("observedMetrics") or {}).get("rows_out")
-        n_out = int((p.get("sink") or {}).get("numOutputRows", -1) or -1)
+        # raw sink count, None/negative tested explicitly: an `or -1`
+        # coercion mapped a legitimate numOutputRows of 0 onto the
+        # "sink reports nothing" sentinel (ADVICE r06) — summed the
+        # same, but ambiguous for any consumer distinguishing the two
+        raw_out = (p.get("sink") or {}).get("numOutputRows")
         if om is not None:
             # a plain dict from progress JSON, or a Row from the live API
             if hasattr(om, "asDict"):
                 om = om.asDict()
             rows_out += int(om.get("n") or 0)
-        elif n_out > 0:
-            rows_out += n_out
+        elif raw_out is not None and int(raw_out) >= 0:
+            rows_out += int(raw_out)
         for so in p.get("stateOperators") or []:
             dropped += int(so.get("numRowsDroppedByWatermark") or 0)
     m = {"batches": batches, "rows_in": rows_in, "rows_out": rows_out,
          "late_dropped": dropped}
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a run
+    # with more micro-batches than that silently undercounts while
+    # looking authoritative (ADVICE r06) — flag it instead
+    try:
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        cap = int(sess.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"))
+    except Exception:
+        cap = 100
+    if batches >= cap:
+        m["truncated"] = True
     if extra:
         m.update(extra)
     return m
@@ -471,10 +488,21 @@ def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
             yield _emit(start_us, last_us, n, uid)
             return
         parts = [pdf[["ts", "event_id"]] for pdf in pdf_iter]
-        ev = pd.concat(parts).sort_values(["ts", "event_id"])
-        us = (ev["ts"].astype("int64") // 1_000).to_numpy()
+        if parts:
+            ev = pd.concat(parts).sort_values(["ts", "event_id"])
+            us = (ev["ts"].astype("int64") // 1_000).to_numpy()
+        else:
+            # unreachable under applyInPandasWithState's current
+            # contract (groups arrive with rows or hasTimedOut), but a
+            # latent pd.concat([]) crash if it ever loosens (ADVICE
+            # r06) — mirror sessionize_walk's own empty guard
+            import numpy as np
+            us = np.empty(0, dtype="int64")
         out, new_state = sessionize_walk(
             us, state.get if state.exists else None, gap_us)
+        if new_state is None:
+            # empty batch, no prior state: nothing to emit or keep
+            return
         start_us, last_us, n = new_state
         wm_ms = state.getCurrentWatermarkMs()
         timeout_ms = (last_us + gap_us) // 1000 + 1

@@ -133,15 +133,24 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", text_hash_expr(norm).alias("fp"))
 
 
-def _ngrams(col, n: int):
-    """Word-n-gram list WITH duplicates, as expressions. The single home
-    of the short-doc guard: docs with < n words get an EMPTY array —
-    Spark's sequence(1, 0) is the descending [1, 0] (not empty like
-    DuckDB's generate_series), and slice(words, 0, n) then throws
-    INVALID_PARAMETER_VALUE.START — so the index list is guarded
+def _ngrams_of_words(words, n: int):
+    """Word-n-gram list from an ALREADY-MATERIALIZED words-array column.
+
+    `words` must be a bound column reference (not the _words(...)
+    expression tree): the n-gram transform references the array once per
+    element, and an inlined split(trim(lower(text))) re-tokenizes the
+    whole document PER SHINGLE POSITION — O(words²) per doc (the r7
+    profiling find: the split appeared verbatim inside the Generate
+    lambda in every shingle consumer's plan). Callers project the words
+    array into a column first (_with_words) so the split runs once per
+    row.
+
+    Single home of the short-doc guard: docs with < n words get an
+    EMPTY array — Spark's sequence(1, 0) is the descending [1, 0] (not
+    empty like DuckDB's generate_series), and slice(words, 0, n) then
+    throws INVALID_PARAMETER_VALUE.START — so the index list is guarded
     explicitly (matches the DuckDB oracle, whose generate_series(1, 0)
     is already empty)."""
-    words = _words(col)
     sz = F.size(words)
     idx = F.when(sz >= n, F.sequence(F.lit(1), sz - F.lit(n - 1))) \
         .otherwise(F.array().cast("array<int>"))
@@ -149,8 +158,31 @@ def _ngrams(col, n: int):
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(n))))
 
 
+def _with_words(documents: DataFrame, out: str = "_w") -> DataFrame:
+    """documents + the tokenized words array as a real column, computed
+    ONCE per row (the split stays a named projection; Catalyst keeps
+    multiply-referenced non-cheap aliases un-inlined)."""
+    return documents.withColumn(out, _words(F.col("text")))
+
+
+def _ngrams(col, n: int):
+    """Word-n-gram list WITH duplicates, as expressions, for PER-ROW
+    array consumers. Per-element cost is O(words) because the split
+    inlines into the lambda — explode-heavy paths must use
+    _with_words + _ngrams_of_words instead (O(words) once per row)."""
+    return _ngrams_of_words(_words(col), n)
+
+
+def _shingles_of_words(words):
+    """Word-3-gram shingle array from a materialized words column,
+    distinct (Jaccard set semantics)."""
+    return F.array_distinct(_ngrams_of_words(words, 3))
+
+
 def _shingles(col):
-    """Word-3-gram shingle array, distinct (Jaccard set semantics)."""
+    """Word-3-gram shingle array, distinct (Jaccard set semantics).
+    Per-row-array form; heavy paths use _with_words + the _of_words
+    twin (see _ngrams_of_words)."""
     return F.array_distinct(_ngrams(col, 3))
 
 
@@ -165,9 +197,10 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     before the shuffle) — higher-order array functions are interpreted
     per-element in Catalyst and were ~10× slower here."""
     assert k <= 8
-    sh = (documents
-          .filter(F.size(_words(F.col("text"))) >= 3)
-          .select("doc_id", F.explode(_shingles(F.col("text"))).alias("s")))
+    sh = (_with_words(documents)
+          .filter(F.size(F.col("_w")) >= 3)
+          .select("doc_id",
+                  F.explode(_shingles_of_words(F.col("_w"))).alias("s")))
     hh = sh.select(
         "doc_id",
         F.concat(text_hash_expr(F.col("s")),
@@ -190,16 +223,28 @@ def lsh_dup_pairs(documents: DataFrame, k: int = MINHASH_K,
     reducer load split S ways. Off by default (one extra job)."""
     sigs = minhash_signatures(documents, k)
     rows_per_band = k // bands
-    band_frames = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_frames.append(sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            text_hash_expr(F.concat_ws("|", *parts)).alias("bucket")))
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionByName(bf)
+    # ONE pass over the signatures: explode an array of (band, bucket)
+    # structs instead of unioning `bands` SELECTs of the same sigs plan.
+    # The union form embedded the whole minhash explode+agg subtree once
+    # per band per join side — 2×bands parquet scans and shingle explodes
+    # in the initial plan (r7 plan audit; runtime exchange reuse is AQE-
+    # dependent, this makes the single computation structural). Rows are
+    # identical: same (doc_id, band, bucket) triples, same band hash.
+    def _band_bucket(b):
+        parts = [F.col(f"sig_{b * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        return F.struct(F.lit(b).alias("band"),
+                        # binary band key — internal join key only
+                        F.unhex(text_hash_expr(F.concat_ws("|", *parts)))
+                        .alias("bucket"))
+
+    buckets = (sigs
+               .select("doc_id",
+                       F.explode(F.array(*[_band_bucket(b)
+                                           for b in range(bands)]))
+                       .alias("_bb"))
+               .select("doc_id", F.col("_bb.band").alias("band"),
+                       F.col("_bb.bucket").alias("bucket")))
 
     if salt:
         s = salt_buckets
@@ -236,7 +281,8 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.7) -> DataFra
     """(a_id, b_id, jaccard) — exact word-3-gram Jaccard on LSH candidate
     pairs (the verify step of MinHash+LSH dedup)."""
     cands = lsh_dup_pairs(documents)
-    sh = documents.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sh = (_with_words(documents)
+          .select("doc_id", _shingles_of_words(F.col("_w")).alias("sh")))
     j = (cands
          .join(sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id")
          .join(sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id"))
@@ -301,12 +347,22 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     LSH (a pair within Hamming ≤ 3 shares at least one exact 16-bit block —
     pigeonhole), then exact popcount refine. Scales as an equi-join."""
     sh = simhash_fingerprints(documents)
-    blocks = None
-    for b in range(4):
-        blk = sh.select("doc_id", "simhash", F.lit(b).alias("blk"),
-                        F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(
-                            F.lit(0xFFFF)).alias("key"))
-        blocks = blk if blocks is None else blocks.unionByName(blk)
+    # one explode over an array of (blk, key) structs instead of a
+    # 4-way union of SELECTs over the same fingerprint plan — the union
+    # form embedded the whole token-explode + 64-sum aggregate subtree
+    # once per block per join side (8 parquet scans in the r7 plan
+    # audit); identical rows, single structural computation
+    blocks = (sh
+              .select("doc_id", "simhash",
+                      F.explode(F.array(*[
+                          F.struct(
+                              F.lit(b).alias("blk"),
+                              F.shiftrightunsigned("simhash", 16 * b)
+                              .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                          for b in range(4)])).alias("_bk"))
+              .select("doc_id", "simhash",
+                      F.col("_bk.blk").alias("blk"),
+                      F.col("_bk.key").alias("key")))
     a = blocks.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"),
                       "blk", "key")
     b = blocks.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"),
@@ -359,35 +415,52 @@ def min_label_components(ids: DataFrame, pairs: DataFrame, id_col: str,
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint(eager=True)
-    lbl = ids.select(F.col(id_col).alias("_id")).withColumn(
-        "label", F.col("_id")).persist()
+    # r7: the propagation loop runs over only the nodes that APPEAR in
+    # the pair graph — a node with no edges can never change its label
+    # (the neighbor-min join contributes nothing), so the full id table
+    # no longer rides every round's join/agg/count; near-dup pair
+    # graphs are a sliver of the corpus, which made each round's tables
+    # corpus-sized for no reason (guide §2.3: don't shuffle rows whose
+    # outcome is already known). Singletons union back at the end with
+    # label = self — exactly what the loop produced for them before.
+    pnodes = (edges.select(F.col("a_id").alias("_id")).distinct()
+              .join(ids.select(F.col(id_col).alias("_id")), "_id",
+                    "left_semi")  # membership contract unchanged: only
+              # ids rows ever appear in the output
+              .localCheckpoint(eager=True))
+    lbl = pnodes.withColumn("label", F.col("_id")).persist()
     lbl.count()
     converged = False
     for _ in range(max_rounds):
         nb = (edges.join(lbl.select(F.col("_id").alias("b_id"),
                                     F.col("label").alias("b_label")), "b_id")
               .groupBy("a_id").agg(F.min("b_label").alias("nb_min")))
+        # the old label rides along as _old so the convergence count
+        # reads straight off `new` — one join per round, not two
         new = (lbl.join(nb.withColumnRenamed("a_id", "_id"), "_id", "left")
-               .select("_id",
+               .select("_id", F.col("label").alias("_old"),
                        F.least("label", F.coalesce("nb_min", F.col("label")))
                        .alias("label"))
                .persist())
-        changed = (new.join(lbl.withColumnRenamed("label", "old"), "_id")
-                   .filter("label != old").count())
+        changed = new.filter("label != _old").count()
         lbl.unpersist()
-        lbl = new
+        lbl = new.select("_id", "label")
         if changed == 0:
             converged = True
             break
     if not converged:
-        lbl.unpersist()
+        new.unpersist()
         raise RuntimeError(
             f"min_label_components did not converge within {max_rounds} "
             f"label-propagation rounds — a duplicate chain longer than "
             f"that exists (boilerplate drift); raise max_rounds")
-    return lbl.select(F.col("_id").alias(id_col),
-                      F.col("label").alias("cluster_id"),
-                      (F.col("_id") == F.col("label")).alias("is_keeper"))
+    singles = (ids.select(F.col(id_col).alias("_id"))
+               .join(pnodes, "_id", "left_anti")
+               .withColumn("label", F.col("_id")))
+    return (lbl.unionByName(singles)
+            .select(F.col("_id").alias(id_col),
+                    F.col("label").alias("cluster_id"),
+                    (F.col("_id") == F.col("label")).alias("is_keeper")))
 
 
 def train_split(documents: DataFrame, test_pct: int = 10,
@@ -456,14 +529,16 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
     shingles map-side and semi-joins — one broadcast join plus one
     per-doc count shuffle, never corpus×benchmark. Every input document
     gets a row (n_hits = 0 when clean)."""
-    bench_hashes = (benchmark
-                    .select(F.explode(_shingles(F.col("text"))).alias("sh"))
-                    .select(text_hash_expr("sh").alias("h"))
+    bench_hashes = (_with_words(benchmark)
+                    .select(F.explode(_shingles_of_words(F.col("_w")))
+                            .alias("sh"))
+                    .select(F.unhex(text_hash_expr("sh")).alias("h"))
                     .distinct())
-    doc_sh = (documents
-              .select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    doc_sh = (_with_words(documents)
               .select("doc_id",
-                      text_hash_expr("sh").alias("h")))
+                      F.explode(_shingles_of_words(F.col("_w"))).alias("sh"))
+              .select("doc_id",
+                      F.unhex(text_hash_expr("sh")).alias("h")))
     hits = (doc_sh.join(F.broadcast(bench_hashes), "h", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
     return (documents.select("doc_id")
@@ -589,8 +664,9 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
                 .otherwise(F.lit(0.0)))
     base = documents.select("doc_id", n_lines.cast("long").alias("n_lines"),
                             dup_frac.alias("dup_line_frac"))
-    bg = documents.select("doc_id",
-                          F.explode(_bigrams(F.col("text"))).alias("g"))
+    bg = (_with_words(documents)
+          .select("doc_id",
+                  F.explode(_ngrams_of_words(F.col("_w"), 2)).alias("g")))
     top = (bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
            .groupBy("doc_id").agg(F.max("c").alias("_mx"),
                                   F.sum("c").alias("_tot")))
@@ -704,7 +780,9 @@ def boilerplate_scrub(documents: DataFrame, min_docs: int = 2,
     lines = (documents
              .select("doc_id", F.posexplode(F.split(F.col("text"), "\n"))
                      .alias("pos", "line")))
-    key = text_hash_expr("line")
+    # 16-byte binary line key (internal only — clean_sha stays hex):
+    # same verdicts, half the key bytes per exchange (guide §2.3)
+    key = F.unhex(text_hash_expr("line"))
     boiler = (lines
               .where(F.length(F.trim(F.col("line"))) > 0)
               .groupBy(key.alias("k"))
@@ -775,11 +853,17 @@ def substring_dup_spans(documents: DataFrame, k: int = 8,
     bench row's sf0.1 cost (~2x the single-pass time) is that choice
     priced honestly. substring_scrub makes the same call."""
     salt_mod = max(1, int(salt_mod))
-    sh = (documents
+    sh = (_with_words(documents)
           .select("doc_id",
-                  F.posexplode(_ngrams(F.col("text"), k)).alias("pos0", "s"))
+                  F.posexplode(_ngrams_of_words(F.col("_w"), k))
+                  .alias("pos0", "s"))
           .select("doc_id", (F.col("pos0") + 1).alias("pos"),
-                  text_hash_expr("s").alias("h")))
+                  # 16-byte binary key, not the 32-char hex string: the
+                  # shingle identity only feeds internal aggs/joins, and
+                  # unhex(md5) is injective on md5 output — same
+                  # verdicts, half the key bytes through every exchange
+                  # (guide §2.3 narrower types)
+                  F.unhex(text_hash_expr("s")).alias("h")))
     dup = (sh.groupBy("h")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .where(F.col("nd") >= min_docs)
@@ -834,11 +918,17 @@ def substring_scrub(documents: DataFrame, k: int = 8,
     (composite-unique keys, no skew surface) and one doc-bounded
     collect/sort/join aggregate."""
     salt_mod = max(1, int(salt_mod))
-    sh = (documents
+    sh = (_with_words(documents)
           .select("doc_id",
-                  F.posexplode(_ngrams(F.col("text"), k)).alias("pos0", "s"))
+                  F.posexplode(_ngrams_of_words(F.col("_w"), k))
+                  .alias("pos0", "s"))
           .select("doc_id", (F.col("pos0") + 1).alias("pos"),
-                  text_hash_expr("s").alias("h")))
+                  # 16-byte binary key, not the 32-char hex string: the
+                  # shingle identity only feeds internal aggs/joins, and
+                  # unhex(md5) is injective on md5 output — same
+                  # verdicts, half the key bytes through every exchange
+                  # (guide §2.3 narrower types)
+                  F.unhex(text_hash_expr("s")).alias("h")))
     dup = (sh.groupBy("h")
            .agg(F.count_distinct("doc_id").alias("nd"),
                 F.min(F.struct("doc_id", "pos")).alias("kp"))
