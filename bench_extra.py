@@ -132,6 +132,11 @@ def main():
     if plan_tag:
         os.makedirs(plans_dir, exist_ok=True)
 
+    # bench.py builds these OUTSIDE its timed lambda (eps_join counts a
+    # pre-built frame; dbscan's CC loop runs eagerly at construction) —
+    # mirror that so per-query numbers are comparable to the frozen bench
+    outside_build = {"eps_join", "dbscan"}
+
     out = {}
     for name in names:
         build = reg[name]
@@ -149,9 +154,14 @@ def main():
             spark.sparkContext.setJobDescription(f"r07:{name}:rep{i}")
             # build INSIDE the timed region — the frozen bench times
             # `fn()` including operator construction, and some operators
-            # do eager work there (CC rounds, hot-cell sampling)
-            t0 = time.perf_counter()
-            df = build()
+            # do eager work there (CC rounds, hot-cell sampling) —
+            # except the outside_build set (see above)
+            if name in outside_build:
+                df = build()
+                t0 = time.perf_counter()
+            else:
+                t0 = time.perf_counter()
+                df = build()
             if use_noop:
                 df.write.format("noop").mode("overwrite").save()
             else:

@@ -67,6 +67,12 @@ def corridor_polygons(segments: DataFrame, assignments: DataFrame,
             "ring": [[{"x": float(x), "y": float(y)} for x, y in ring]],
         })
 
+    from imc.config import python_stage_partitions
     joined = (assignments.select("seg_id", "cluster_id")
               .join(segments.select("seg_id", "x1", "y1", "x2", "y2"), "seg_id"))
-    return joined.groupBy("cluster_id").applyInPandas(_buffer, CORRIDOR_SCHEMA)
+    # explicit pre-partitioning on the group key — see sweep.py (AQE
+    # byte-coalescing starves the Python kernel stage of cores)
+    return (joined
+            .repartition(python_stage_partitions(segments.sparkSession),
+                         "cluster_id")
+            .groupBy("cluster_id").applyInPandas(_buffer, CORRIDOR_SCHEMA))

@@ -572,6 +572,32 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     refined = (with_traclus_dist(uniq, params.w_perp, params.w_par, params.w_ang)
                if metric == "traclus"
                else uniq.withColumn("dist", hausdorff_dist_expr()))
+    # OPTIMIZER BARRIER before the ε filter (r7). Without it, filter
+    # pushdown substitutes the staged refine columns into the `dist ≤ ε`
+    # condition and pushes the fully-flattened TRACLUS tree INTO THE
+    # JOIN CONDITION — a 169 KB expression (measured) whose generated
+    # method blows Janino's 64 KB limit, so every execution paid a ~2 s
+    # failed whole-stage compile and then ran the stage unfused (r7
+    # profile: refine+count 4–10 s with the push vs 2.6 s unfused vs
+    # sub-second for the join alone). The staged-projection design
+    # exists precisely to evaluate each intermediate once; the push
+    # undid it exponentially.
+    #
+    # The barrier: redefine `dist` as shuffle(array(dist))[0] — a
+    # permutation of a ONE-element array, so the VALUE is bitwise
+    # unchanged — whose `shuffle` marks the alias NON-DETERMINISTIC.
+    # Substituting a nondeterministic alias into a pushed-down predicate
+    # would duplicate its evaluation, which the optimizer (correctly)
+    # refuses, so the filter stays above the projection chain and each
+    # staged column is computed once (verified: join condition back to
+    # ~4 KB of prefilters, no Janino failure). Gentler forms do NOT
+    # survive Spark 4.1's optimizer: `+ rand()*0.0` is simplified away,
+    # and even a nondeterministic filter CONDITION is now pushed through
+    # deterministic projects — only a nondeterministic ALIAS blocks the
+    # substitution. Guide §4.4's "stop the optimizer duplicating the
+    # expensive expression" pattern, applied to a pure-Catalyst column.
+    refined = refined.withColumn(
+        "dist", F.shuffle(F.array(F.col("dist")))[0])
     return (refined
             .filter(F.col("dist") <= F.lit(params.eps))
             .select("a_seg", "b_seg", "dist"))
@@ -831,6 +857,13 @@ def tile_assignments_cogrouped(segments: DataFrame, tiles: DataFrame,
         return pd.DataFrame({"seg_id": seg_pdf["seg_id"].to_numpy(np.int64),
                              "tile_id": out})
 
-    return (segs.groupBy("_b")
-            .cogroup(tls.groupBy("_b"))
+    # explicit pre-partitioning on the bucket key for BOTH cogroup
+    # sides — AQE's byte-based coalescing otherwise collapses these
+    # small shuffles onto a few tasks and starves the Python PIP kernel
+    # of cores (r7, same failure as mdl_segments); the user-specified
+    # count satisfies the clustered distribution, so no extra exchange
+    from imc.config import python_stage_partitions
+    n_shuf = python_stage_partitions(segments.sparkSession)
+    return (segs.repartition(n_shuf, "_b").groupBy("_b")
+            .cogroup(tls.repartition(n_shuf, "_b").groupBy("_b"))
             .applyInPandas(_assign, "seg_id long, tile_id long"))

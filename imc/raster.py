@@ -97,4 +97,11 @@ def extract_polygons(raster: DataFrame, params: IMCParams | None = None) -> Data
             })
         return pd.DataFrame(rows, columns=["venue", "poly_id", "is_outer", "ring"])
 
-    return raster.groupBy("venue").applyInPandas(_extract, POLYGON_SCHEMA)
+    from imc.config import python_stage_partitions
+    # explicit pre-partitioning on the group key — see sweep.py (AQE
+    # byte-coalescing starves the Python kernel stage of cores); venue
+    # count bounds the useful parallelism, repartition only spreads it
+    return (raster
+            .repartition(python_stage_partitions(raster.sparkSession),
+                         "venue")
+            .groupBy("venue").applyInPandas(_extract, POLYGON_SCHEMA))

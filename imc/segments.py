@@ -144,9 +144,17 @@ def mdl_segments(points: DataFrame) -> DataFrame:
             if f is not None:
                 yield f
 
+    from imc.config import python_stage_partitions
     df = (points
           .select("traj_id", "seq", "x", "y")
-          .repartition("traj_id")
+          # EXPLICIT partition count: the MDL walk is Python-CPU-bound,
+          # and AQE's byte-based coalescing collapsed this ~10 MB
+          # shuffle to a handful of tasks — serializing ~13 s of kernel
+          # CPU onto 5 cores (r7 profile). A user-specified count is
+          # exempt from coalescing; the value is session-derived
+          # (python_stage_partitions), not a box constant.
+          .repartition(python_stage_partitions(points.sparkSession),
+                       "traj_id")
           .sortWithinPartitions("traj_id", "seq")
           .mapInPandas(_mdl_partitioned, SEGMENT_SCHEMA))
     df = _with_features(df).filter(F.col("len") > 0)

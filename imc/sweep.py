@@ -43,9 +43,18 @@ def representative_trajectories(segments: DataFrame, assignments: DataFrame,
             "y": rep[:, 1],
         })
 
+    from imc.config import python_stage_partitions
     joined = (assignments.select("seg_id", "cluster_id")
               .join(segments.select("seg_id", "x1", "y1", "x2", "y2"), "seg_id"))
-    return joined.groupBy("cluster_id").applyInPandas(_sweep, REP_SCHEMA)
+    # explicit pre-partitioning on the group key: applyInPandas' own
+    # exchange is AQE-coalesced by BYTES, which starves the Python sweep
+    # kernel of cores (r7: same failure as mdl_segments); a
+    # user-specified repartition satisfies the grouping distribution, so
+    # no second exchange is added
+    return (joined
+            .repartition(python_stage_partitions(segments.sparkSession),
+                         "cluster_id")
+            .groupBy("cluster_id").applyInPandas(_sweep, REP_SCHEMA))
 
 
 def rep_polylines(rep_points: DataFrame) -> DataFrame:
