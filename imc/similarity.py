@@ -156,21 +156,27 @@ def _with_multi_bucket(embeddings: DataFrame, bits: int,
     bucket table by vec_id; carrying the columns through the explode
     removes both."""
     planes = lsh_planes(bits, tables)
+    # the key expressions are built as ONE SQL string parsed in a single
+    # F.expr call: composing the ~tables×bits×terms Column tree through
+    # Py4J cost ~1 s of driver time PER QUERY CONSTRUCTION (r7 profile)
+    # while the parsed expression is identical — same try_element_at /
+    # coalesce / cast arithmetic in the same order, literals emitted via
+    # repr so the doubles round-trip exactly
     structs = []
     for t in range(tables):
-        key = None
+        bit_terms = []
         for j in range(bits):
-            proj = None
-            for d, c in planes[t][j]:
-                term = F.coalesce(
-                    F.try_element_at("embedding", F.lit(d + 1)).cast("double"),
-                    F.lit(0.0)) * F.lit(c)
-                proj = term if proj is None else proj + term
-            bit = (proj > 0).cast("long") * F.lit(1 << j)
-            key = bit if key is None else key + bit
-        structs.append(F.struct(F.lit(t).alias("tbl"), key.alias("bucket")))
+            proj = " + ".join(
+                f"(coalesce(CAST(try_element_at(embedding, {d + 1}) "
+                f"AS DOUBLE), 0.0D) * {c!r}D)"
+                for d, c in planes[t][j])
+            bit_terms.append(
+                f"(CAST(({proj}) > 0 AS BIGINT) * {1 << j}L)")
+        key = " + ".join(bit_terms)
+        structs.append(f"named_struct('tbl', {t}, 'bucket', ({key}))")
+    gen = f"explode(array({', '.join(structs)}))"
     return (embeddings
-            .withColumn("_tb", F.explode(F.array(*structs)))
+            .withColumn("_tb", F.expr(gen))
             .withColumn("tbl", F.col("_tb.tbl"))
             .withColumn("bucket", F.col("_tb.bucket"))
             .drop("_tb"))
@@ -767,54 +773,56 @@ def ann_topk_pq(embeddings: DataFrame, k: int = 5, probe_mod: int = 50,
     k_pq = len(codebooks[0])
     ds = len(codebooks[0][0])
 
-    def _dot(sub, cent):
-        # Σ_t sub[t]·w_t, fixed left-to-right order
-        return F.aggregate(F.zip_with(sub, cent, lambda p, q: p * q),
-                           F.lit(0.0), lambda a, b: a + b)
-
     # each subspace's codebook (and its precomputed ‖c‖²/2 vector)
     # enters the plan as ONE nested-array literal walked by transform —
     # not k_pq × ds scattered literal nodes, whose Catalyst analysis
     # cost dominated the query at bench scale (same fix as
-    # _ranked_lists_expr); identical arithmetic in identical order
-    books_lit = [F.lit([[float(w) for w in c] for c in book])
+    # _ranked_lists_expr). r7: the per-subspace encode/LUT expressions
+    # are BUILT AS SQL STRINGS parsed by one F.expr call each — the
+    # Py4J Column/lambda composition cost ~1.3 s of driver time per
+    # query construction (inside the benched region); the parsed
+    # expressions are identical — same aggregate/zip_with arithmetic in
+    # the same order, float literals emitted via repr (exact
+    # round-trip), 0.0D seeds matching F.lit(0.0).
+    def _arr(vals):
+        return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+    books_sql = ["array(" + ", ".join(_arr(c) for c in book) + ")"
                  for book in codebooks]
-    hns_lit = [F.lit([sum(float(w) * float(w) for w in c) / 2.0
-                      for c in book])
+    hns_sql = [_arr([sum(float(w) * float(w) for w in c) / 2.0
+                     for c in book])
                for book in codebooks]
 
-    # factory helpers, NOT default-arg lambdas: pyspark dispatches on
-    # lambda arity, so `lambda c, sub=sub:` would be misread as an
-    # (element, index) lambda
-    def _cands_for(sub, book_lit, hn_lit):
-        return F.transform(
-            book_lit,
-            lambda c, i: F.struct(
-                (-F.round(_dot(sub, c) - F.element_at(hn_lit, i + 1), 6))
-                .alias("ns"),
-                i.alias("c")))
+    def _dot_sql(sub, cent):
+        # Σ_t sub[t]·w_t, fixed left-to-right order
+        return (f"aggregate(zip_with({sub}, {cent}, (p, q) -> p * q), "
+                f"0.0D, (a, b) -> a + b)")
 
-    def _lut_for(qsub, book_lit):
-        return F.transform(book_lit,
-                           lambda c: F.round(_dot(qsub, c), 6))
+    def _code_sql(j):
+        sub = f"slice(_nb, {j * ds + 1}, {ds})"
+        return (f"array_min(transform({books_sql[j]}, (c, i) -> "
+                f"named_struct('ns', -round({_dot_sql(sub, 'c')} - "
+                f"element_at({hns_sql[j]}, i + 1), 6), 'c', i))).c")
 
+    def _lut_sql(j):
+        qsub = f"slice(_qn, {j * ds + 1}, {ds})"
+        return (f"transform({books_sql[j]}, "
+                f"c -> round({_dot_sql(qsub, 'c')}, 6))")
+
+    # single SELECT per side, not m chained withColumns (each is a Py4J
+    # round-trip plus a plan level to analyze)
     nb = _norm_expr(F.col("embedding"))
-    base = embeddings.select("vec_id", nb.alias("_nb"))
-    for j in range(m):
-        sub = F.slice(F.col("_nb"), j * ds + 1, ds)
-        base = base.withColumn(
-            f"_code_{j}",
-            F.array_min(_cands_for(sub, books_lit[j], hns_lit[j]))["c"])
-    base = base.drop("_nb")
+    base = (embeddings.select("vec_id", nb.alias("_nb"))
+            .select("vec_id",
+                    *[F.expr(_code_sql(j)).alias(f"_code_{j}")
+                      for j in range(m)]))
 
     probes = (embeddings.filter(F.col("vec_id") % probe_mod == 0)
               .select(F.col("vec_id").alias("query_id"),
-                      _norm_expr(F.col("embedding")).alias("_qn")))
-    for j in range(m):
-        qsub = F.slice(F.col("_qn"), j * ds + 1, ds)
-        probes = probes.withColumn(f"_lut_{j}",
-                                   _lut_for(qsub, books_lit[j]))
-    probes = probes.drop("_qn")
+                      _norm_expr(F.col("embedding")).alias("_qn"))
+              .select("query_id",
+                      *[F.expr(_lut_sql(j)).alias(f"_lut_{j}")
+                        for j in range(m)]))
 
     adc = F.round(
         sum(F.element_at(F.col(f"_lut_{j}"), F.col(f"_code_{j}") + 1)
