@@ -87,7 +87,8 @@ def _conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
-def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, factor: int = 2,
+                        by: tuple = ()) -> DataFrame:
     """Repartition iff the input arrives with fewer scan splits than the
     cluster can use (e.g. a small parquet file with one row group) so the
     map-side UDF stages actually fan out. Decides on the FILE LISTING
@@ -119,11 +120,16 @@ def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     incremental deltas) is delta-sized, so the one extra exchange of a
     small table buys guaranteed fan-out for the map-side UDF stages.
     Deliberate, not an oversight."""
+    # `by` columns switch the fan-out from round-robin to hash
+    # partitioning: round-robin pays a per-partition pre-sort of every
+    # column (sortBeforeRepartition, needed for deterministic retries)
+    # which is pure overhead when a high-cardinality key is available
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism * factor
     files = df.inputFiles()
     if not files:
-        return df.repartition(want)
+        return df.repartition(want, *[F.col(c) for c in by]) if by \
+            else df.repartition(want)
     max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
     sample = files if len(files) <= 4096 else files[:4096]
@@ -143,7 +149,8 @@ def _ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     est_splits = max(1, -(-total // max_pb))
     if est_splits >= want:
         return df
-    return df.repartition(want)
+    return df.repartition(want, *[F.col(c) for c in by]) if by \
+        else df.repartition(want)
 
 
 def _remote_bytes(spark, files: list, open_cost: int, max_pb: int) -> int:

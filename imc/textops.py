@@ -165,6 +165,24 @@ def _with_words(documents: DataFrame, out: str = "_w") -> DataFrame:
     return documents.withColumn(out, _words(F.col("text")))
 
 
+def _fan_out(documents: DataFrame) -> DataFrame:
+    """Ensure the scan feeding a token/shingle-heavy MAP stage has
+    enough splits. A small corpus parquet packs into a handful of scan
+    splits (bytes-based packing), which serialized the whole
+    explode+hash map side of the dedup family onto ONE core at bench
+    scale (r7 profile: the single-task stage preceding every
+    fingerprint/minhash aggregate). Reuses the joins._ensure_parallelism
+    split-estimate logic — a big corpus with many files is left
+    untouched, so this is latency-only at small scale and a no-op at
+    100 TB. Hash-partitioned by doc_id (unique ⇒ even), not
+    round-robin, to skip the sortBeforeRepartition pre-sort of the text
+    payload. Applied ONLY where the per-row map work is hash-heavy
+    (md5-per-shingle/token); for light map stages the exchange costs
+    more than it recovers (measured both ways, r7)."""
+    from imc.joins import _ensure_parallelism
+    return _ensure_parallelism(documents, by=("doc_id",))
+
+
 def _ngrams(col, n: int):
     """Word-n-gram list WITH duplicates, as expressions, for PER-ROW
     array consumers. Per-element cost is O(words) because the split
@@ -197,7 +215,7 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     before the shuffle) — higher-order array functions are interpreted
     per-element in Catalyst and were ~10× slower here."""
     assert k <= 8
-    sh = (_with_words(documents)
+    sh = (_with_words(_fan_out(documents))
           .filter(F.size(F.col("_w")) >= 3)
           .select("doc_id",
                   F.explode(_shingles_of_words(F.col("_w"))).alias("s")))
@@ -320,7 +338,7 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     shuffle) → sign-pack. Bit b of a token's hash = bit (b%4) of hex digit
     15−b//4 of the md5 (first 8 bytes, big-endian) — matching simhash64_py
     and the DuckDB oracle exactly. Tokenless docs get simhash 0."""
-    toks = documents.select("doc_id", _terms_expr().alias("tok"))
+    toks = _fan_out(documents).select("doc_id", _terms_expr().alias("tok"))
     hx = text_hash_expr(F.col("tok"))
     digits = [F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
               for i in range(16)]
@@ -423,13 +441,17 @@ def min_label_components(ids: DataFrame, pairs: DataFrame, id_col: str,
     # corpus-sized for no reason (guide §2.3: don't shuffle rows whose
     # outcome is already known). Singletons union back at the end with
     # label = self — exactly what the loop produced for them before.
+    # pnodes stays LAZY over the checkpointed edges (cheap distinct +
+    # semi-join): the first round's convergence count materializes it
+    # into lbl's persist, and the final singles anti-join recomputes it
+    # once more inside its own job — two fewer eager driver actions per
+    # call than checkpoint-and-count (r7: the CC loop's cost at small
+    # scale is almost entirely per-action latency)
     pnodes = (edges.select(F.col("a_id").alias("_id")).distinct()
               .join(ids.select(F.col(id_col).alias("_id")), "_id",
-                    "left_semi")  # membership contract unchanged: only
-              # ids rows ever appear in the output
-              .localCheckpoint(eager=True))
+                    "left_semi"))  # membership contract unchanged: only
+    # ids rows ever appear in the output
     lbl = pnodes.withColumn("label", F.col("_id")).persist()
-    lbl.count()
     converged = False
     for _ in range(max_rounds):
         nb = (edges.join(lbl.select(F.col("_id").alias("b_id"),
@@ -534,7 +556,7 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
                             .alias("sh"))
                     .select(F.unhex(text_hash_expr("sh")).alias("h"))
                     .distinct())
-    doc_sh = (_with_words(documents)
+    doc_sh = (_with_words(_fan_out(documents))
               .select("doc_id",
                       F.explode(_shingles_of_words(F.col("_w"))).alias("sh"))
               .select("doc_id",
@@ -853,7 +875,7 @@ def substring_dup_spans(documents: DataFrame, k: int = 8,
     bench row's sf0.1 cost (~2x the single-pass time) is that choice
     priced honestly. substring_scrub makes the same call."""
     salt_mod = max(1, int(salt_mod))
-    sh = (_with_words(documents)
+    sh = (_with_words(_fan_out(documents))
           .select("doc_id",
                   F.posexplode(_ngrams_of_words(F.col("_w"), k))
                   .alias("pos0", "s"))
@@ -918,7 +940,7 @@ def substring_scrub(documents: DataFrame, k: int = 8,
     (composite-unique keys, no skew surface) and one doc-bounded
     collect/sort/join aggregate."""
     salt_mod = max(1, int(salt_mod))
-    sh = (_with_words(documents)
+    sh = (_with_words(_fan_out(documents))
           .select("doc_id",
                   F.posexplode(_ngrams_of_words(F.col("_w"), k))
                   .alias("pos0", "s"))
