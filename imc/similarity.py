@@ -64,16 +64,30 @@ def _score_block(q_ids, q_mat, q_norm, b_ids, b_mat, k):
 
 
 def ann_topk_bruteforce(embeddings: DataFrame, k: int = 5,
-                        probe_mod: int = 50) -> DataFrame:
+                        probe_mod: int = 50,
+                        max_probes: int = 250_000) -> DataFrame:
     """Exact cosine top-k for probe vectors (vec_id % probe_mod == 0)
     against the full table. Returns (query_id, neighbor_id, score, rank).
 
     Probes are collected (a small, bounded set) and broadcast inside a
     mapInPandas closure; each base partition computes a partial top-k, the
     final top-k is a window over k×n_partitions rows per probe.
+
+    The probe-set smallness contract is ENGINE-OWNED (VERDICT r06 #3):
+    probes grow as n/probe_mod with the corpus, and silently collecting
+    an unbounded set is a driver-memory cliff followed by a worse
+    per-task closure-replication cliff. More than `max_probes` collected
+    probes raises loudly — callers with a genuinely larger probe set
+    should batch probe ranges and union the per-batch top-k.
     """
     probes = (embeddings.filter(F.col("vec_id") % probe_mod == 0)
               .select("vec_id", "embedding").toPandas())
+    if len(probes) > max_probes:
+        raise ValueError(
+            f"ann_topk_bruteforce collected {len(probes)} probes "
+            f"(> max_probes={max_probes}); the probe set grows as "
+            f"n/probe_mod — batch probe ranges (union the per-batch "
+            f"top-k) or raise max_probes deliberately")
     q_ids = probes["vec_id"].to_numpy(np.int64)
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in probes["embedding"]])
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))

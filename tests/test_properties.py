@@ -256,3 +256,54 @@ def test_sessionize_watermark_admitted_waves_never_overlap(
     ivals = sorted((s, e) for s, e, _ in emitted)
     for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
         assert e1 < s2, (ivals,)
+
+
+# --- r7: PQ encode / ADC identities (imc/similarity.py, VERDICT r06 #8) ---
+
+VEC = st.lists(st.floats(min_value=-10.0, max_value=10.0,
+                         allow_nan=False, allow_infinity=False, width=32),
+               min_size=8, max_size=8)
+
+
+@given(x=VEC, book=st.lists(VEC, min_size=2, max_size=6))
+@settings(max_examples=200, deadline=None, derandomize=True, database=None)
+def test_pq_encode_identity_argmax_dot_is_argmin_l2(x, book):
+    """The PQ encoder assigns argmax(x·c − ‖c‖²/2) (the expression the
+    Catalyst plan evaluates); the classic identity says that equals
+    argmin ‖x−c‖₂ because ‖x−c‖² = ‖x‖² − 2(x·c − ‖c‖²/2) and ‖x‖² is
+    candidate-independent. Pinned over random vectors/codebooks —
+    trusted-by-construction until r7. Ties: both sides break to the
+    LOWEST index (the engine ranks on (-score, index) structs); scores
+    are compared at full precision here, the rounding contract is the
+    separate LUT test below."""
+    xv = np.asarray(x, dtype=np.float64)
+    cb = np.asarray(book, dtype=np.float64)
+    score = cb @ xv - 0.5 * (cb * cb).sum(axis=1)
+    l2 = ((xv[None, :] - cb) ** 2).sum(axis=1)
+    assert int(np.argmax(score)) == int(np.argmin(l2)) or (
+        # exact score ties may legally disagree with l2 ties only when
+        # both are ties (same score ⇒ same l2 and vice versa)
+        np.isclose(score[np.argmax(score)], score[np.argmin(l2)])
+        and np.isclose(l2[np.argmin(l2)], l2[np.argmax(score)]))
+
+
+@given(q=st.lists(VEC, min_size=2, max_size=4),
+       codes=st.lists(st.integers(min_value=0, max_value=3),
+                      min_size=2, max_size=4),
+       book=st.lists(VEC, min_size=4, max_size=4))
+@settings(max_examples=200, deadline=None, derandomize=True, database=None)
+def test_pq_lut_sum_equals_direct_inner_product(q, codes, book):
+    """ADC scoring: Σ_j LUT_j[code_j] — each LUT entry rounded to 6 (the
+    cross-engine determinism rule) — must equal the direct sum of the
+    per-subspace inner products rounded the same way. This is exactly
+    the substitution the Catalyst plan performs (element_at over the
+    probe's LUT arrays); pinned so a future refactor can't silently
+    change the rounding point."""
+    cb = np.asarray(book, dtype=np.float64)
+    subs = [np.asarray(s, dtype=np.float64) for s in q]
+    m = len(subs)
+    lut = [np.round(cb @ subs[j], 6) for j in range(m)]
+    adc = sum(lut[j][codes[j % len(codes)] % len(cb)] for j in range(m))
+    direct = sum(np.round(float(subs[j] @ cb[codes[j % len(codes)] % len(cb)]), 6)
+                 for j in range(m))
+    assert adc == direct
