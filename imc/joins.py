@@ -460,7 +460,8 @@ def eps_join(segments: DataFrame, params: IMCParams | None = None,
     g = params.join_cell
     gap = params.gap_bound
     r = gap / 2.0
-    segs = _ensure_parallelism(segments.select("seg_id", *_COORDS))
+    segs = _ensure_parallelism(segments.select("seg_id", *_COORDS),
+                               by=("seg_id",))
 
     ln = _hyp(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
     thresh = split_factor * g
@@ -646,10 +647,12 @@ def knn_join(probes: DataFrame, base: DataFrame, k: int,
 
     a_cols = [F.col(c).alias(f"a{c}") for c in _COORDS]
     b_cols = [F.col(c).alias(f"b{c}") for c in _COORDS]
-    base_cov = (_bbox_cover(_ensure_parallelism(base.select("seg_id", *_COORDS)), g, 0.0)
+    base_cov = (_bbox_cover(_ensure_parallelism(
+        base.select("seg_id", *_COORDS), by=("seg_id",)), g, 0.0)
                 .select(F.col("seg_id").alias("b_seg"), *b_cols, "cell")
                 .localCheckpoint(eager=True))
-    remaining = (_ensure_parallelism(probes.select("seg_id", *_COORDS))
+    remaining = (_ensure_parallelism(probes.select("seg_id", *_COORDS),
+                                     by=("seg_id",))
                  .select(F.col("seg_id").alias("a_seg"), *a_cols)
                  .localCheckpoint(eager=True))
 
@@ -797,7 +800,13 @@ def tile_assignments(segments: DataFrame, tiles_pdf: pd.DataFrame) -> DataFrame:
 
     mx = (F.col("x1") + F.col("x2")) / 2.0
     my = (F.col("y1") + F.col("y2")) / 2.0
-    return (_ensure_parallelism(segments)
+    # project to the consumed columns BEFORE the fan-out (the UDF is
+    # opaque to column pruning through the exchange — guide §2.3/§4.1)
+    # and hash-partition by seg_id instead of round-robin, skipping the
+    # sortBeforeRepartition pre-sort (r7)
+    cols = ["seg_id", "x1", "y1", "x2", "y2"] + (
+        ["traj_id"] if venue_keyed else [])
+    return (_ensure_parallelism(segments.select(*cols), by=("seg_id",))
             .select("seg_id", pip_assign(*args_front, mx, my).alias("tile_id")))
 
 

@@ -56,9 +56,12 @@ def rasterize(segments: DataFrame, params: IMCParams | None = None) -> DataFrame
                                 "gy": gy.astype(np.int32)})
 
     from imc.joins import _ensure_parallelism
-    segments = _ensure_parallelism(segments)
+    # project first (mapInPandas is opaque to pruning through the
+    # exchange), hash-partition by traj_id — no round-robin pre-sort
+    segments = _ensure_parallelism(
+        segments.select("traj_id", "x1", "y1", "x2", "y2"),
+        by=("traj_id",))
     return (segments
-            .select("traj_id", "x1", "y1", "x2", "y2")
             .mapInPandas(cells, _CELL_ROWS_SCHEMA)
             .groupBy("venue", "gx", "gy")
             .agg(F.count("*").alias("hits")))
