@@ -340,13 +340,20 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     and the DuckDB oracle exactly. Tokenless docs get simhash 0."""
     toks = _fan_out(documents).select("doc_id", _terms_expr().alias("tok"))
     hx = text_hash_expr(F.col("tok"))
-    digits = [F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(f"d{i}")
-              for i in range(16)]
-    td = toks.select("doc_id", *digits)
+    # r7: TWO 8-hex-digit convs per token instead of sixteen 1-digit
+    # ones — `_hi` holds hex digits 0..7 (bits 32..63 of the big-endian
+    # first 8 md5 bytes), `_lo` digits 8..15 (bits 0..31); bit b of the
+    # 64-bit value is bit (b%4) of hex digit (15 − b//4), identically
+    # extractable by a long shift. Pure projection-cost cut; the 64
+    # bit-vote sums are unchanged arithmetic.
+    td = toks.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("_lo"))
     aggs = []
     for b in range(64):
-        i = 15 - b // 4  # 0-indexed hex digit from the left
-        bit = F.shiftright(F.col(f"d{i}"), b % 4).bitwiseAND(F.lit(1))
+        src = F.col("_hi") if b >= 32 else F.col("_lo")
+        bit = F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
         aggs.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
     sums = td.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
